@@ -1,0 +1,78 @@
+"""Configuration system — yacs-compatible CfgNode without the dependency.
+
+Defaults mirror the reference dpvo/config.py:3-38 exactly; YAML presets under
+config/ use the same keys, and `--opts KEY VALUE ...` overrides work like
+yacs `merge_from_list` (reference demo.py:78-79).
+"""
+from __future__ import annotations
+
+import copy
+
+import yaml
+
+
+class CfgNode(dict):
+    """Minimal yacs-style config: attribute access + yaml/list merging."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+    def clone(self):
+        return CfgNode(copy.deepcopy(dict(self)))
+
+    def merge_from_file(self, path):
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+        for k, v in data.items():
+            self[k] = _coerce(self.get(k), v)
+
+    def merge_from_list(self, opts):
+        assert len(opts) % 2 == 0, 'opts must be KEY VALUE pairs'
+        for k, v in zip(opts[::2], opts[1::2]):
+            self[k] = _coerce(self.get(k), v)
+
+    def __str__(self):
+        return '\n'.join(f'{k}: {self[k]}' for k in sorted(self))
+
+
+def _coerce(old, new):
+    """Coerce a yaml/string value to the type of the existing default."""
+    if old is None:
+        return new
+    t = type(old)
+    if t is bool and isinstance(new, str):
+        return new.lower() in ('1', 'true', 'yes')
+    if isinstance(new, str) and t is not str:
+        return t(new)
+    if t in (int, float):
+        return t(new)
+    return new
+
+
+# defaults — reference dpvo/config.py:3-38
+cfg = CfgNode(
+    BUFFER_SIZE=4096,
+    CENTROID_SEL_STRAT='RANDOM',
+    PATCHES_PER_FRAME=80,
+    REMOVAL_WINDOW=20,
+    OPTIMIZATION_WINDOW=12,
+    PATCH_LIFETIME=12,
+    KEYFRAME_INDEX=4,
+    KEYFRAME_THRESH=12.5,
+    MOTION_MODEL='DAMPED_LINEAR',
+    MOTION_DAMPING=0.5,
+    MIXED_PRECISION=True,
+    LOOP_CLOSURE=False,
+    BACKEND_THRESH=64.0,
+    MAX_EDGE_AGE=1000,
+    GLOBAL_OPT_FREQ=15,
+    CLASSIC_LOOP_CLOSURE=False,
+    LOOP_CLOSE_WINDOW_SIZE=3,
+    LOOP_RETR_THRESH=0.04,
+)

@@ -1,0 +1,79 @@
+"""Network building blocks: linears, layer norm, gated residual, SoftAgg.
+
+TPU-native rewrite of dpvo/blocks.py:7-118. Functional, flat params dict
+keyed by torch state_dict names. Matmuls run in the input dtype (bf16 under
+mixed precision) with fp32 accumulation; LayerNorm statistics in fp32 with
+the reference's eps=1e-3 (dpvo/net.py:41).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.scatter import segment_softmax, segment_sum
+
+
+def linear(params, name, x):
+    w = params[name + '.weight']        # stored (in, out) — see checkpoint.py
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    out = jnp.matmul(x, w.astype(x.dtype), precision=prec)
+    b = params.get(name + '.bias')
+    if b is not None:
+        out = out + b.astype(x.dtype)
+    return out
+
+
+def layer_norm(params, name, x, eps=1e-3):
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=-1, keepdims=True)
+    var = x32.var(axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params[name + '.weight'].astype(jnp.float32) + \
+        params[name + '.bias'].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def mlp2(params, name0, name2, x):
+    """Sequential(Linear, ReLU, Linear) — the c1/c2/res pattern."""
+    return linear(params, name2, jax.nn.relu(linear(params, name0, x)))
+
+
+def gated_residual(params, prefix, x):
+    """x + sigmoid(gate(x)) * res(x)  (dpvo/blocks.py:15-29)."""
+    gate = jax.nn.sigmoid(linear(params, prefix + '.gate.0', x))
+    res = mlp2(params, prefix + '.res.0', prefix + '.res.2', x)
+    return x + gate * res
+
+
+def soft_agg(params, prefix, x, ids, num_segments, mask=None):
+    """Softmax-weighted aggregation by group id, re-expanded to edges.
+
+    Mirrors SoftAgg (dpvo/blocks.py:31-48): w = scatter_softmax(g(x), ids);
+    y = scatter_sum(f(x) * w, ids); return h(y)[ids]. `ids` must be a dense
+    relabeling of the original group keys (computed host-side, replacing the
+    device-side torch.unique).
+    """
+    fx = linear(params, prefix + '.f', x)
+    gx = linear(params, prefix + '.g', x).astype(jnp.float32)
+    w = segment_softmax(gx, ids, num_segments, mask=mask)
+    y = segment_sum(fx.astype(jnp.float32) * w, ids, num_segments)
+    hy = linear(params, prefix + '.h', y.astype(x.dtype))
+    return hy[ids]
+
+
+# ---------------------------------------------------------------------------
+# initialization helpers (torch nn.Linear default init)
+# ---------------------------------------------------------------------------
+
+def init_linear(rng, p, name, fan_in, fan_out, bias=True):
+    bound = 1.0 / np.sqrt(fan_in)
+    p[name + '.weight'] = rng.uniform(
+        -bound, bound, (fan_in, fan_out)).astype(np.float32)
+    if bias:
+        p[name + '.bias'] = rng.uniform(-bound, bound, fan_out).astype(np.float32)
+
+
+def init_layer_norm(p, name, dim):
+    p[name + '.weight'] = np.ones(dim, np.float32)
+    p[name + '.bias'] = np.zeros(dim, np.float32)

@@ -1,0 +1,119 @@
+"""RAFT-style residual CNN feature encoders (BasicEncoder4).
+
+TPU-native rewrite of the reference dpvo/extractor.py:200-264. Functional:
+parameters live in a flat dict keyed by the *torch state_dict names* (e.g.
+"fnet.layer2.0.downsample.0.weight") so checkpoint conversion is a mechanical
+per-tensor transpose (see models/checkpoint.py). Layout is NHWC / HWIO — the
+native TPU convolution layout — with bf16 params and fp32 accumulation.
+
+BasicEncoder4 = 7x7 s2 conv -> [2 residual blocks @32ch] ->
+[2 residual blocks @64ch, first s2] -> 1x1 conv; output stride 4.
+norm_fn: 'instance' (fnet) or 'none' (inet) — neither carries parameters.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DIM = 32  # base channel count (reference extractor.py:115)
+
+
+def conv2d(params, name, x, stride=1):
+    """Same-dtype conv (bf16 in/out under mixed precision; the TPU MXU
+    accumulates bf16 contractions in fp32 natively, so no explicit
+    preferred_element_type is needed — and keeping one dtype keeps the
+    transpose-conv backward pass type-consistent).
+
+    Padding is explicit symmetric k//2 like torch Conv2d(padding=k//2) —
+    XLA 'SAME' pads asymmetrically under stride 2 and would shift taps.
+    """
+    w = params[name + '.weight']
+    p = w.shape[0] // 2
+    # f32 path = faithful (checkpoint parity); bf16 path = fast MXU
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=[(p, p), (p, p)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        precision=prec,
+    )
+    b = params.get(name + '.bias')
+    if b is not None:
+        out = out + b.astype(x.dtype)
+    return out
+
+
+def instance_norm(x, eps=1e-5):
+    """Per-sample per-channel normalization over H, W (no affine)."""
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=(-3, -2), keepdims=True)
+    var = x32.var(axis=(-3, -2), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def _residual_block(params, prefix, x, norm_fn, stride):
+    y = conv2d(params, prefix + '.conv1', x, stride=stride)
+    if norm_fn == 'instance':
+        y = instance_norm(y)
+    y = jax.nn.relu(y)
+    y = conv2d(params, prefix + '.conv2', y, stride=1)
+    if norm_fn == 'instance':
+        y = instance_norm(y)
+    y = jax.nn.relu(y)
+    if stride != 1:
+        x = conv2d(params, prefix + '.downsample.0', x, stride=stride)
+        if norm_fn == 'instance':
+            x = instance_norm(x)
+    return jax.nn.relu(x + y)
+
+
+def basic_encoder4(params, prefix, x, norm_fn):
+    """x: (N, H, W, 3) -> (N, H/4, W/4, output_dim)."""
+    x = conv2d(params, prefix + '.conv1', x, stride=2)
+    if norm_fn == 'instance':
+        x = instance_norm(x)
+    x = jax.nn.relu(x)
+    x = _residual_block(params, prefix + '.layer1.0', x, norm_fn, 1)
+    x = _residual_block(params, prefix + '.layer1.1', x, norm_fn, 1)
+    x = _residual_block(params, prefix + '.layer2.0', x, norm_fn, 2)
+    x = _residual_block(params, prefix + '.layer2.1', x, norm_fn, 1)
+    x = conv2d(params, prefix + '.conv2', x, stride=1)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# initialization (kaiming-normal convs, reference extractor.py:233-240)
+# ---------------------------------------------------------------------------
+
+def _kaiming(rng, shape_oihw):
+    o, i, kh, kw = shape_oihw
+    fan_out = o * kh * kw
+    std = math.sqrt(2.0 / fan_out)
+    w = rng.randn(kh, kw, i, o).astype(np.float32) * std
+    return w
+
+
+def init_encoder_params(rng, prefix, output_dim):
+    """Random init with the same names/shapes a torch checkpoint provides."""
+    p = {}
+
+    def add_conv(name, o, i, k):
+        p[name + '.weight'] = _kaiming(rng, (o, i, k, k))
+        p[name + '.bias'] = np.zeros(o, np.float32)
+
+    add_conv(prefix + '.conv1', DIM, 3, 7)
+    for li, (cin, cout, stride) in enumerate(
+            [(DIM, DIM, 1), (DIM, 2 * DIM, 2)]):
+        name = f'{prefix}.layer{li + 1}'
+        add_conv(name + '.0.conv1', cout, cin, 3)
+        add_conv(name + '.0.conv2', cout, cout, 3)
+        if stride != 1:
+            add_conv(name + '.0.downsample.0', cout, cin, 1)
+        add_conv(name + '.1.conv1', cout, cout, 3)
+        add_conv(name + '.1.conv2', cout, cout, 3)
+    add_conv(prefix + '.conv2', output_dim, 2 * DIM, 1)
+    return p

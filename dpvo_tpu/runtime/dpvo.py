@@ -1,0 +1,633 @@
+"""DPVO driver — host state machine around the jitted TPU step functions.
+
+Same public API as the reference (dpvo/dpvo.py:20-473): construct with
+(cfg, network, ht, wd), call per frame with (tstamp, image, intrinsics),
+`terminate()` returns (poses, tstamps) with poses as inverted [x y z qx qy qz
+qw] world-from-camera, exactly like dpvo.py:173-198.
+
+Architecture (TPU-first, not a port):
+  * device holds fixed-shape buffers (poses, patch grids, inverse depths,
+    feature rings, per-edge recurrent state) — see runtime/state.py;
+  * the host owns all integer bookkeeping: the active edge table, neighbor
+    indices, group relabelings, keyframe decisions, motion model — NumPy
+    mirrors of poses/depths are refreshed with one small D2H copy per frame,
+    so no jitted code ever depends on data-driven Python control flow;
+  * edge tables are padded to bucketed capacities so a handful of compiled
+    shapes covers a whole run.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import lie
+from ..models.checkpoint import load_network
+from ..models.vonet import DIM, P, RES, VONetParams, init_vonet_params
+from . import numpy_se3 as nse3
+from .state import (edge_bucket, gather_rows, patchify_step,
+                    probe_median_delta, shift_frames, store_frame,
+                    update_step)
+
+
+class DPVO:
+
+    def __init__(self, cfg, network, ht=480, wd=640, viz=False, seed=1234):
+        self.cfg = cfg
+        self.ht = ht
+        self.wd = wd
+        self.P = P
+        self.RES = RES
+        self.DIM = DIM
+        self.is_initialized = False
+        self.enable_timing = False
+
+        self.M = cfg.PATCHES_PER_FRAME
+        self.N = cfg.BUFFER_SIZE
+        self.rng = np.random.RandomState(seed)
+
+        self.load_weights(network)
+
+        # windows (static capacities for the BA jit)
+        self.W_CAP = max(cfg.OPTIMIZATION_WINDOW, 8)
+        self.PC_CAP = (cfg.REMOVAL_WINDOW + 4) * self.M
+
+        ### frame memory (reference dpvo.py:57-76) ###
+        self.pmem = self.mem = 36
+        if cfg.LOOP_CLOSURE:
+            self.last_global_ba = -1000
+            self.pmem = cfg.MAX_EDGE_AGE
+
+        M, N = self.M, self.N
+        ht4, wd4 = ht // RES, wd // RES
+        fdtype = jnp.bfloat16 if cfg.MIXED_PRECISION else jnp.float32
+
+        # device buffers
+        self.poses_dev = jnp.tile(
+            jnp.asarray([0, 0, 0, 0, 0, 0, 1], jnp.float32), (N, 1))
+        self.patch_xy = jnp.zeros((N * M, 2, P, P), jnp.float32)
+        self.depth_dev = jnp.ones((N * M,), jnp.float32)
+        self.intr_dev = jnp.zeros((N, 4), jnp.float32)
+        self.imap_dev = jnp.zeros((self.pmem * M, DIM), fdtype)
+        self.gmap_dev = jnp.zeros((self.pmem * M, P, P, 128), fdtype)
+        self.fmap1_dev = jnp.zeros((self.mem, ht4, wd4, 128), fdtype)
+        self.fmap2_dev = jnp.zeros((self.mem, ht4 // 4, wd4 // 4, 128), fdtype)
+
+        # per-edge device state (bucketed capacity)
+        self._ecap = 128
+        self.net_dev = jnp.zeros((self._ecap, DIM), fdtype)
+        self.target_dev = jnp.zeros((self._ecap, 2), jnp.float32)
+        self.weight_dev = jnp.zeros((self._ecap, 2), jnp.float32)
+
+        # host mirrors + bookkeeping
+        self.poses_np = np.tile(
+            np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (N, 1))
+        self.depth_np = np.ones(N * M, np.float32)
+        self.centers_np = np.zeros((N * M, 2), np.float32)
+        self.colors_np = np.zeros((N, M, 3), np.uint8)
+        self.tstamps_ = np.zeros(N, np.int64)
+        self.intr_np = np.zeros(4, np.float32)
+
+        # active edges
+        self.ii = np.zeros(0, np.int32)
+        self.jj = np.zeros(0, np.int32)
+        self.kk = np.zeros(0, np.int32)
+
+        # inactive (retired) edges kept for global BA (reference
+        # patchgraph.py:49-54); stored host-side, shipped only when needed
+        self.ii_inac = np.zeros(0, np.int32)
+        self.jj_inac = np.zeros(0, np.int32)
+        self.kk_inac = np.zeros(0, np.int32)
+        self.targ_inac = np.zeros((0, 2), np.float32)
+        self.w_inac = np.zeros((0, 2), np.float32)
+
+        self.n = 0           # frame count
+        self.m = 0           # patch count
+        self.counter = 0     # input frame count
+        self.tlist = []
+        self.delta = {}      # removed-frame relative poses
+        self.ran_global_ba = np.zeros(100000, dtype=bool)
+
+        self.viewer = None
+        if viz:
+            self.start_viewer()
+
+        self.points_np = np.zeros((N * M, 3), np.float32)
+
+        if cfg.CLASSIC_LOOP_CLOSURE:
+            self.load_long_term_loop_closure()
+        else:
+            self.long_term_lc = None
+
+    # ------------------------------------------------------------------ #
+    # setup
+    # ------------------------------------------------------------------ #
+
+    def load_weights(self, network):
+        import os
+        if network is None or (isinstance(network, str) and
+                               (network in ('', 'none', 'random') or
+                                not os.path.exists(network))):
+            if network not in (None, '', 'none', 'random'):
+                print(f'WARNING: network checkpoint {network!r} not found — '
+                      f'using random weights')
+            params = init_vonet_params(0)
+        elif isinstance(network, str):
+            params = load_network(network)
+        elif isinstance(network, dict):
+            params = network
+        else:
+            params = network  # already a VONetParams
+        if not isinstance(params, VONetParams):
+            params = VONetParams.from_f32(params)
+        self.params = params
+
+    def start_viewer(self):
+        try:
+            from ..viz.viewer import Viewer
+            self.viewer = Viewer()
+        except Exception as e:  # viewer is strictly optional
+            print(f'WARNING: viewer unavailable: {e}')
+            self.viewer = None
+
+    def load_long_term_loop_closure(self):
+        try:
+            from ..loop_closure.long_term import LongTermLoopClosure
+            self.long_term_lc = LongTermLoopClosure(self.cfg, self)
+        except Exception as e:
+            self.cfg.CLASSIC_LOOP_CLOSURE = False
+            self.long_term_lc = None
+            print(f'WARNING: {e}')
+
+    # ------------------------------------------------------------------ #
+    # small helpers
+    # ------------------------------------------------------------------ #
+
+    @property
+    def ix(self):
+        """frame index of every patch slot."""
+        return self.kk // self.M  # patches live at frame*M + i
+
+    def _select_coords(self, image_dev):
+        """Patch centroid selection (reference net.py:119-136)."""
+        M = self.M
+        h4, w4 = self.ht // RES, self.wd // RES
+        if self.cfg.CENTROID_SEL_STRAT == 'GRADIENT_BIAS':
+            from ..models.vonet import image_gradient_scores
+            x = self.rng.randint(1, w4 - 1, 3 * M)
+            y = self.rng.randint(1, h4 - 1, 3 * M)
+            coords = np.stack([x, y], axis=-1).astype(np.float32)
+            img = 2.0 * (jnp.asarray(image_dev, jnp.float32) / 255.0) - 0.5
+            g = np.asarray(image_gradient_scores(img, jnp.asarray(coords)))
+            top = np.argsort(g)[-M:]
+            return coords[top]
+        x = self.rng.randint(1, w4 - 1, M)
+        y = self.rng.randint(1, h4 - 1, M)
+        return np.stack([x, y], axis=-1).astype(np.float32)
+
+    def _edge_table(self, ii, jj, kk, extra_probe=False):
+        """Pack the padded (9, E) int32 edge table + mask (host-side).
+
+        Rows: ii, jj, kk, kk_slot, jj_slot, ix, jx, kk_ids, pair_ids.
+        Replaces the reference's device-side torch.unique / fastba.neighbors
+        round trips (net.py:80-88) with host precomputation.
+        """
+        E = len(ii)
+        cap = edge_bucket(E)
+        M, pmem, mem = self.M, self.pmem, self.mem
+
+        tab = np.zeros((9, cap), np.int32)
+        mask = np.zeros(cap, bool)
+        mask[:E] = True
+
+        kk_frame = kk // M
+        kk_slot = (kk_frame % pmem) * M + kk % M
+        jj_slot = jj % mem
+
+        # temporal neighbors: same patch, adjacent jj (stable by insertion)
+        ix = np.full(E, -1, np.int64)
+        jx = np.full(E, -1, np.int64)
+        if E > 0:
+            order = np.lexsort((np.arange(E), jj, kk))
+            sk = kk[order]
+            same = sk[1:] == sk[:-1]
+            ix[order[1:][same]] = order[:-1][same]
+            jx[order[:-1][same]] = order[1:][same]
+
+        _, kk_ids = np.unique(kk, return_inverse=True)
+        _, pair_ids = np.unique(ii.astype(np.int64) * 12345 + jj,
+                                return_inverse=True)
+
+        tab[0, :E] = ii
+        tab[1, :E] = jj
+        tab[2, :E] = kk
+        tab[3, :E] = kk_slot
+        tab[4, :E] = jj_slot
+        tab[5, :E] = ix
+        tab[6, :E] = jx
+        tab[5, E:] = -1
+        tab[6, E:] = -1
+        tab[7, :E] = kk_ids
+        tab[8, :E] = pair_ids
+        return jnp.asarray(tab), jnp.asarray(mask), cap
+
+    def _resize_edge_buffers(self, cap):
+        if self.net_dev.shape[0] != cap:
+            idx = np.full(cap, -1, np.int32)
+            k = min(cap, self.net_dev.shape[0], len(self.ii))
+            idx[:k] = np.arange(k)
+            idx_dev = jnp.asarray(idx)
+            self.net_dev = gather_rows(self.net_dev, idx_dev)
+            self.target_dev = gather_rows(self.target_dev, idx_dev)
+            self.weight_dev = gather_rows(self.weight_dev, idx_dev)
+            self._ecap = cap
+
+    # ------------------------------------------------------------------ #
+    # edge lifecycle (reference dpvo.py:215-238, 362-375)
+    # ------------------------------------------------------------------ #
+
+    def append_factors(self, kk_new, jj_new):
+        kk_new = np.asarray(kk_new, np.int32)
+        jj_new = np.asarray(jj_new, np.int32)
+        E0 = len(self.ii)
+        self.kk = np.concatenate([self.kk, kk_new])
+        self.jj = np.concatenate([self.jj, jj_new])
+        self.ii = np.concatenate([self.ii, (kk_new // self.M)])
+        cap = edge_bucket(len(self.ii))
+        self._resize_edge_buffers(cap)
+        # new net rows must be zero: rows beyond E0 were zeroed by gather_rows
+        # (or were never written)
+
+    def remove_factors(self, m, store):
+        """m: bool mask over active edges to drop (True = remove)."""
+        if m.sum() == 0:
+            return
+        if store:
+            # fetch freshest target/weight rows for the retired edges
+            tw = np.asarray(self.target_dev)[:len(self.ii)][m]
+            ww = np.asarray(self.weight_dev)[:len(self.ii)][m]
+            self.ii_inac = np.concatenate([self.ii_inac, self.ii[m]])
+            self.jj_inac = np.concatenate([self.jj_inac, self.jj[m]])
+            self.kk_inac = np.concatenate([self.kk_inac, self.kk[m]])
+            self.targ_inac = np.concatenate([self.targ_inac, tw])
+            self.w_inac = np.concatenate([self.w_inac, ww])
+        keep = ~m
+        E1 = int(keep.sum())
+        cap = edge_bucket(max(E1, 1))
+        idx = np.full(cap, -1, np.int32)
+        idx[:E1] = np.nonzero(keep)[0]
+        idx_dev = jnp.asarray(idx)
+        self.net_dev = gather_rows(self.net_dev, idx_dev)
+        self.target_dev = gather_rows(self.target_dev, idx_dev)
+        self.weight_dev = gather_rows(self.weight_dev, idx_dev)
+        self._ecap = cap
+        self.ii = self.ii[keep]
+        self.jj = self.jj[keep]
+        self.kk = self.kk[keep]
+
+    def __edges_forw(self):
+        r = self.cfg.PATCH_LIFETIME
+        t0 = self.M * max(self.n - r, 0)
+        t1 = self.M * max(self.n - 1, 0)
+        kk, jj = np.meshgrid(np.arange(t0, t1),
+                             np.arange(self.n - 1, self.n), indexing='ij')
+        return kk.ravel(), jj.ravel()
+
+    def __edges_back(self):
+        r = self.cfg.PATCH_LIFETIME
+        t0 = self.M * max(self.n - 1, 0)
+        t1 = self.M * max(self.n - 0, 0)
+        kk, jj = np.meshgrid(np.arange(t0, t1),
+                             np.arange(max(self.n - r, 0), self.n),
+                             indexing='ij')
+        return kk.ravel(), jj.ravel()
+
+    # ------------------------------------------------------------------ #
+    # core update (reference dpvo.py:328-360)
+    # ------------------------------------------------------------------ #
+
+    def _run_update(self, run_ba=True):
+        tab, mask, cap = self._edge_table(self.ii, self.jj, self.kk)
+        self._resize_edge_buffers(cap)
+
+        # long-range edges trigger global BA (reference dpvo.py:345-354)
+        use_global = (run_ba and
+                      (self.ii < self.n - self.cfg.REMOVAL_WINDOW - 1).any()
+                      and not self.ran_global_ba[self.n])
+
+        if self.is_initialized:
+            t0 = max(self.n - self.cfg.OPTIMIZATION_WINDOW, 1)
+        else:
+            t0 = 1
+        patch_base = max(self.n - self.cfg.REMOVAL_WINDOW - 2, 0) * self.M
+
+        (self.net_dev, self.poses_dev, self.depth_dev,
+         self.target_dev, self.weight_dev, delta) = update_step(
+            self.params, self.poses_dev, self.patch_xy, self.depth_dev,
+            self.intr_dev, self.imap_dev, self.gmap_dev, self.fmap1_dev,
+            self.fmap2_dev, self.net_dev, tab, mask,
+            jnp.int32(t0), jnp.int32(self.n), jnp.int32(patch_base),
+            W=self.W_CAP, PC=self.PC_CAP, iterations=2,
+            run_ba=run_ba and not use_global,
+            mixed_precision=self.cfg.MIXED_PRECISION)
+
+        if use_global:
+            self._run_global_ba()
+            # global BA touches all patches; refresh the whole mirror
+            self.depth_np = np.array(self.depth_dev)
+            self.poses_np = np.array(self.poses_dev)
+            return
+
+        # refresh host mirrors (one small D2H per frame)
+        self.poses_np = np.array(self.poses_dev)
+        dwin = np.asarray(jax.lax.dynamic_slice(
+            self.depth_dev, (patch_base,), (self.PC_CAP,)))
+        self.depth_np[patch_base:patch_base + self.PC_CAP] = dwin
+
+    def _run_global_ba(self):
+        """Global bundle adjustment over active + inactive edges
+        (reference dpvo.py:312-326)."""
+        from ..ba_global import global_ba
+
+        self.normalize()
+
+        E = len(self.ii)
+        targ = np.asarray(self.target_dev)[:E]
+        wgt = np.asarray(self.weight_dev)[:E]
+        full_ii = np.concatenate([self.ii_inac, self.ii])
+        full_jj = np.concatenate([self.jj_inac, self.jj])
+        full_kk = np.concatenate([self.kk_inac, self.kk])
+        full_t = np.concatenate([self.targ_inac, targ])
+        full_w = np.concatenate([self.w_inac, wgt])
+
+        t0 = int(self.ii.min())
+        self.poses_dev, self.depth_dev = global_ba(
+            self.poses_dev, jnp.asarray(self.centers_np), self.depth_dev,
+            self.intr_dev[0], full_t, full_w, full_ii, full_jj, full_kk,
+            t0, self.n, self.M, iterations=2)
+        self.ran_global_ba[self.n] = True
+
+    def normalize(self):
+        """Scale/gauge normalization before global BA
+        (reference patchgraph.py:84-95): mean inverse depth -> 1, rebase to
+        pose 0."""
+        n, M = self.n, self.M
+        d = np.asarray(self.depth_dev)[:n * M]
+        s = float(d.mean())
+        if not np.isfinite(s) or s <= 0:
+            return
+        self.depth_np[:n * M] = d / s
+        self.poses_np[:n, :3] *= s
+        self.poses_np[:n] = nse3.mul(self.poses_np[:n],
+                                     nse3.inv(self.poses_np[0]))
+        for t, (t0, dP) in self.delta.items():
+            dPs = dP.copy()
+            dPs[:3] *= s
+            self.delta[t] = (t0, dPs)
+        # push back to device
+        self.depth_dev = self.depth_dev.at[:n * M].set(
+            jnp.asarray(self.depth_np[:n * M]))
+        self.poses_dev = self.poses_dev.at[:n].set(
+            jnp.asarray(self.poses_np[:n]))
+
+    def update(self):
+        self._run_update(run_ba=True)
+
+    def motion_probe(self):
+        """Median update-magnitude on probe edges (reference dpvo.py:240-255)."""
+        kk = np.arange(self.m - self.M, self.m, dtype=np.int32)
+        jj = np.full_like(kk, self.n)
+        tab, mask, cap = self._edge_table(kk // self.M, jj, kk)
+        net = jnp.zeros((cap, DIM), self.net_dev.dtype)
+        out = update_step(
+            self.params, self.poses_dev, self.patch_xy, self.depth_dev,
+            self.intr_dev, self.imap_dev, self.gmap_dev, self.fmap1_dev,
+            self.fmap2_dev, net, tab, mask,
+            jnp.int32(1), jnp.int32(self.n), jnp.int32(0),
+            W=self.W_CAP, PC=self.PC_CAP, iterations=2, run_ba=False,
+            mixed_precision=self.cfg.MIXED_PRECISION)
+        _, self.poses_dev, self.depth_dev, _, _, delta = out
+        return float(probe_median_delta(delta, mask))
+
+    # ------------------------------------------------------------------ #
+    # keyframing (reference dpvo.py:266-310)
+    # ------------------------------------------------------------------ #
+
+    def motionmag(self, i, j):
+        k = (self.ii == i) & (self.jj == j)
+        if k.sum() == 0:
+            return 0.0
+        flow, val = nse3.flow_mag(
+            self.poses_np, self.centers_np, self.depth_np, self.intr_np,
+            self.ii[k], self.jj[k], self.kk[k], beta=0.5)
+        return float(flow.mean())
+
+    def keyframe(self):
+        i = self.n - self.cfg.KEYFRAME_INDEX - 1
+        j = self.n - self.cfg.KEYFRAME_INDEX + 1
+        m_flow = (self.motionmag(i, j) + self.motionmag(j, i)) / 2
+
+        if m_flow < self.cfg.KEYFRAME_THRESH:
+            k = self.n - self.cfg.KEYFRAME_INDEX
+            t0 = self.tstamps_[k - 1]
+            t1 = self.tstamps_[k]
+
+            dP = nse3.mul(self.poses_np[k], nse3.inv(self.poses_np[k - 1]))
+            self.delta[t1] = (t0, dP)
+
+            to_remove = (self.ii == k) | (self.jj == k)
+            self.remove_factors(to_remove, store=False)
+
+            self.kk[self.ii > k] -= self.M
+            self.ii[self.ii > k] -= 1
+            self.jj[self.jj > k] -= 1
+
+            # device-side frame compaction
+            (self.poses_dev, self.patch_xy, self.depth_dev, self.intr_dev,
+             self.imap_dev, self.gmap_dev, self.fmap1_dev, self.fmap2_dev) = \
+                shift_frames(self.poses_dev, self.patch_xy, self.depth_dev,
+                             self.intr_dev, self.imap_dev, self.gmap_dev,
+                             self.fmap1_dev, self.fmap2_dev,
+                             jnp.int32(k), jnp.int32(self.n),
+                             M=self.M, pmem=self.pmem, mem=self.mem)
+
+            # host mirrors
+            sl = slice(k, self.n - 1)
+            self.tstamps_[sl] = self.tstamps_[k + 1:self.n]
+            self.colors_np[sl] = self.colors_np[k + 1:self.n]
+            self.poses_np[sl] = self.poses_np[k + 1:self.n]
+            self.centers_np[k * self.M:(self.n - 1) * self.M] = \
+                self.centers_np[(k + 1) * self.M:self.n * self.M]
+            self.depth_np[k * self.M:(self.n - 1) * self.M] = \
+                self.depth_np[(k + 1) * self.M:self.n * self.M]
+
+            self.n -= 1
+            self.m -= self.M
+
+            if self.cfg.CLASSIC_LOOP_CLOSURE and self.long_term_lc:
+                self.long_term_lc.keyframe(k)
+
+        # retire edges that left the optimization window
+        to_remove = (self.kk // self.M) < (self.n - self.cfg.REMOVAL_WINDOW)
+        if self.cfg.LOOP_CLOSURE:
+            lc_edges = ((self.jj - self.ii) > 30) & \
+                (self.jj > (self.n - self.cfg.OPTIMIZATION_WINDOW))
+            to_remove = to_remove & ~lc_edges
+        self.remove_factors(to_remove, store=True)
+
+    # ------------------------------------------------------------------ #
+    # per-frame entry (reference dpvo.py:377-473)
+    # ------------------------------------------------------------------ #
+
+    def __call__(self, tstamp, image, intrinsics):
+        """Track one frame. image: (H, W, 3) uint8 (BGR, like cv2)."""
+        if self.cfg.CLASSIC_LOOP_CLOSURE and self.long_term_lc:
+            self.long_term_lc(image, self.n)
+
+        if (self.n + 1) >= self.N:
+            raise Exception(
+                f'The buffer size is too small. You can increase it using '
+                f'"--opts BUFFER_SIZE={self.N * 2}"')
+
+        if self.viewer is not None:
+            self.viewer.update_image(image)
+
+        intrinsics = np.asarray(intrinsics, np.float32)
+        self.intr_np = intrinsics / self.RES
+
+        image_dev = jnp.asarray(np.ascontiguousarray(image), jnp.uint8)
+        coords = self._select_coords(image_dev)
+        feats = patchify_step(self.params, image_dev, jnp.asarray(coords),
+                              mixed_precision=self.cfg.MIXED_PRECISION)
+
+        n, M = self.n, self.M
+        self.tlist.append(tstamp)
+        self.tstamps_[n] = self.counter
+
+        clr = np.asarray(feats['clr'])
+        self.colors_np[n] = np.clip(clr[:, [2, 1, 0]], 0, 255).astype(np.uint8)
+
+        # motion model (reference dpvo.py:410-424)
+        if self.n > 1 and self.cfg.MOTION_MODEL == 'DAMPED_LINEAR':
+            P1 = self.poses_np[n - 1]
+            P2 = self.poses_np[n - 2]
+            *_, a, b, c = [1] * 3 + self.tlist
+            fac = (c - b) / (b - a) if b != a else 1.0
+            xi = self.cfg.MOTION_DAMPING * fac * \
+                nse3.log(nse3.mul(P1, nse3.inv(P2)))
+            pose_init = nse3.mul(nse3.exp(xi), P1)
+        elif self.n > 1:
+            pose_init = self.poses_np[n - 1].copy()
+        else:
+            pose_init = self.poses_np[max(n - 1, 0)].copy()
+
+        # patch depth init (reference dpvo.py:426-431)
+        if self.is_initialized:
+            s = np.median(self.depth_np[(n - 3) * M:n * M])
+            depth_init = np.full(M, s, np.float32)
+        else:
+            depth_init = self.rng.rand(M).astype(np.float32)
+
+        (self.poses_dev, self.patch_xy, self.depth_dev, self.intr_dev,
+         self.imap_dev, self.gmap_dev, self.fmap1_dev, self.fmap2_dev) = \
+            store_frame(
+                self.poses_dev, self.patch_xy, self.depth_dev, self.intr_dev,
+                self.imap_dev, self.gmap_dev, self.fmap1_dev, self.fmap2_dev,
+                feats, jnp.int32(n), jnp.int32(n % self.pmem),
+                jnp.int32(n % self.mem), jnp.asarray(pose_init),
+                jnp.asarray(self.intr_np), jnp.asarray(depth_init))
+
+        # host mirrors
+        self.poses_np[n] = pose_init
+        self.centers_np[n * M:(n + 1) * M] = coords
+        self.depth_np[n * M:(n + 1) * M] = depth_init
+
+        self.counter += 1
+        if self.n > 0 and not self.is_initialized:
+            if self.motion_probe() < 2.0:
+                self.delta[self.counter - 1] = (self.counter - 2,
+                                                nse3.identity())
+                return
+
+        self.n += 1
+        self.m += self.M
+
+        if self.cfg.LOOP_CLOSURE:
+            if self.n - self.last_global_ba >= self.cfg.GLOBAL_OPT_FREQ:
+                lii, ljj = self.edges_loop()
+                if len(lii) > 0:
+                    self.last_global_ba = self.n
+                    self.append_factors(lii, ljj)
+
+        self.append_factors(*self.__edges_forw())
+        self.append_factors(*self.__edges_back())
+
+        if self.n == 8 and not self.is_initialized:
+            self.is_initialized = True
+            for _ in range(12):
+                self.update()
+        elif self.is_initialized:
+            self.update()
+            self.keyframe()
+
+        if self.cfg.CLASSIC_LOOP_CLOSURE and self.long_term_lc:
+            self.long_term_lc.attempt_loop_closure(self.n)
+            self.long_term_lc.lc_callback()
+
+    # ------------------------------------------------------------------ #
+    # loop-closure proximity edges (reference patchgraph.py:56-82)
+    # ------------------------------------------------------------------ #
+
+    def edges_loop(self):
+        from ..loop_closure.proximity import proximity_edges
+        return proximity_edges(self)
+
+    # ------------------------------------------------------------------ #
+    # termination (reference dpvo.py:173-198)
+    # ------------------------------------------------------------------ #
+
+    def get_pose(self, t):
+        if t in self.traj:
+            return self.traj[t]
+        t0, dP = self.delta[t]
+        return nse3.mul(dP, self.get_pose(t0))
+
+    def terminate(self):
+        if self.cfg.CLASSIC_LOOP_CLOSURE and self.long_term_lc:
+            self.long_term_lc.terminate(self.n)
+
+        if self.cfg.LOOP_CLOSURE:
+            lii, ljj = self.edges_loop()
+            if len(lii) > 0:
+                self.append_factors(lii, ljj)
+
+        for _ in range(12):
+            self.ran_global_ba[self.n] = False
+            self.update()
+
+        self.traj = {}
+        for i in range(self.n):
+            self.traj[self.tstamps_[i]] = self.poses_np[i]
+
+        poses = [self.get_pose(t) for t in range(self.counter)]
+        poses = np.stack(poses, axis=0)
+        poses = nse3.inv(poses)
+        tstamps = np.array(self.tlist, dtype=np.float64)
+
+        if self.viewer is not None:
+            self.viewer.join()
+
+        return poses, tstamps
+
+    # convenience: point cloud for export/viz
+    def point_cloud(self):
+        from .. import projective as pops
+        m = self.m
+        xy = self.patch_xy[:m, :, 1, 1]
+        patches = jnp.concatenate(
+            [self.patch_xy[:m], jnp.broadcast_to(
+                self.depth_dev[:m, None, None, None], (m, 1, P, P))], axis=1)
+        ix = jnp.asarray(np.arange(m) // self.M)
+        pts = pops.point_cloud(self.poses_dev, patches, self.intr_dev, ix)
+        pts = np.asarray(pts[..., 1, 1, :])
+        return pts[..., :3] / np.maximum(pts[..., 3:], 1e-8)

@@ -1,0 +1,209 @@
+"""Device-side VO state + the jitted per-frame step functions.
+
+TPU-first re-architecture of the reference's eager per-frame tensor churn
+(dpvo/dpvo.py:200-473): all device state lives in fixed-shape buffers; the
+edge set is a *padded, masked table* whose integer bookkeeping lives on the
+host (see runtime/dpvo.py). Three compiled functions cover a frame:
+
+  * patchify_step  — run both encoders, gather patch features
+  * store_frame    — write one frame's state into the big ring buffers
+  * update_step    — reproject + correlate + recurrent update + windowed BA
+                     (the reference's DPVO.update, dpvo.py:328-360)
+  * shift_frames   — keyframe removal compaction (dpvo.py:287-297)
+  * compact_edges  — edge-table compaction gather
+
+Edge capacities are bucketed (powers of two, then 8k steps) so jit compiles
+a handful of shapes total; t0/t1/n are traced scalars.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ba as ba_mod
+from .. import lie
+from ..models.vonet import DIM, P, patchify_frame, update_op
+from ..ops.corr import corr as corr_op
+
+
+# ---------------------------------------------------------------------------
+# edge-count bucketing
+# ---------------------------------------------------------------------------
+
+def edge_bucket(n):
+    """Static edge capacity for a dynamic edge count (few distinct shapes)."""
+    if n <= 128:
+        return 128
+    b = 256
+    while b < n and b < 8192:
+        b *= 2
+    if b >= n:
+        return b
+    return ((n + 8191) // 8192) * 8192
+
+
+# ---------------------------------------------------------------------------
+# patchify
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=('mixed_precision',))
+def patchify_step(params, image, coords, mixed_precision=True):
+    """image (H, W, 3) uint8/float -> frame features (see patchify_frame)."""
+    img = 2.0 * (image.astype(jnp.float32) / 255.0) - 0.5
+    return patchify_frame(params, img, coords, mixed_precision=mixed_precision)
+
+
+@partial(jax.jit, donate_argnames=('poses', 'patch_xy', 'depth', 'intrinsics',
+                                   'imap_buf', 'gmap_buf', 'fmap1_buf',
+                                   'fmap2_buf'))
+def store_frame(poses, patch_xy, depth, intrinsics, imap_buf, gmap_buf,
+                fmap1_buf, fmap2_buf, feats, n, imap_slot, fmap_slot,
+                pose_init, intr, depth_init):
+    """Write frame n's features/pose/patches into the persistent buffers.
+
+    feats: output dict of patchify_step. depth_init: (M,) inverse depths.
+    imap_slot = n % pmem, fmap_slot = n % mem (host-computed).
+    """
+    M = feats['imap'].shape[0]
+    poses = jax.lax.dynamic_update_slice(poses, pose_init[None], (n, 0))
+    intrinsics = jax.lax.dynamic_update_slice(intrinsics, intr[None], (n, 0))
+    patch_xy = jax.lax.dynamic_update_slice(
+        patch_xy, feats['patch_xy'], (n * M, 0, 0, 0))
+    depth = jax.lax.dynamic_update_slice(depth, depth_init, (n * M,))
+    imap_buf = jax.lax.dynamic_update_slice(
+        imap_buf, feats['imap'].astype(imap_buf.dtype), (imap_slot * M, 0))
+    gmap_buf = jax.lax.dynamic_update_slice(
+        gmap_buf, feats['gmap'].astype(gmap_buf.dtype), (imap_slot * M, 0, 0, 0))
+    fmap1_buf = jax.lax.dynamic_update_slice(
+        fmap1_buf, feats['fmap1'][None].astype(fmap1_buf.dtype),
+        (fmap_slot, 0, 0, 0))
+    fmap2_buf = jax.lax.dynamic_update_slice(
+        fmap2_buf, feats['fmap2'][None].astype(fmap2_buf.dtype),
+        (fmap_slot, 0, 0, 0))
+    return poses, patch_xy, depth, intrinsics, imap_buf, gmap_buf, fmap1_buf, fmap2_buf
+
+
+# ---------------------------------------------------------------------------
+# reproject + correlation + update + BA — the hot per-frame function
+# ---------------------------------------------------------------------------
+
+def _reproject(poses, patch_xy, depth, intrinsics, ii, jj, kk):
+    """Full-patch reprojection (E, P, P, 2) (reference dpvo.py:209-213)."""
+    xy = patch_xy[kk]                                    # (E, 2, P, P)
+    d = depth[kk][:, None, None]                         # (E, 1, 1)
+    intr_i = intrinsics[ii]
+    intr_j = intrinsics[jj]
+    fx, fy, cx, cy = [intr_i[:, i, None, None] for i in range(4)]
+    xn = (xy[:, 0] - cx) / fx
+    yn = (xy[:, 1] - cy) / fy
+    X0 = jnp.stack([xn, yn, jnp.ones_like(xn),
+                    jnp.broadcast_to(d, xn.shape)], axis=-1)  # (E,P,P,4)
+    Gij = lie.se3_mul(poses[jj], lie.se3_inv(poses[ii]))
+    X1 = lie.se3_act4(Gij[:, None, None, :], X0)
+    Z = jnp.maximum(X1[..., 2], 0.1)
+    fx, fy, cx, cy = [intr_j[:, i, None, None] for i in range(4)]
+    x1 = fx * X1[..., 0] / Z + cx
+    y1 = fy * X1[..., 1] / Z + cy
+    return jnp.stack([x1, y1], axis=-1)
+
+
+@partial(jax.jit,
+         static_argnames=('W', 'PC', 'iterations', 'run_ba', 'mixed_precision'),
+         donate_argnames=('poses', 'depth', 'net'))
+def update_step(params, poses, patch_xy, depth, intrinsics,
+                imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
+                net, edge_table, mask, t0, t1, patch_base,
+                *, W, PC, iterations=2, run_ba=True, mixed_precision=True):
+    """One tracking/BA iteration over the (padded) active edge table.
+
+    edge_table: (9, E) int32 rows [ii, jj, kk, kk_slot, jj_slot, ix, jx,
+    kk_ids, pair_ids]; mask (E,) bool. Returns (net, poses, depth, target,
+    weight, delta).
+    """
+    ii, jj, kk, kk_slot, jj_slot, ix, jx, kk_ids, pair_ids = edge_table
+
+    coords = _reproject(poses, patch_xy, depth, intrinsics, ii, jj, kk)
+
+    gmap_flat = gmap_buf                                  # (pmem*M, P, P, 128)
+    c1 = corr_op(gmap_flat, fmap1_buf, coords, kk_slot, jj_slot, radius=3)
+    c2 = corr_op(gmap_flat, fmap2_buf, coords / 4.0, kk_slot, jj_slot, radius=3)
+    # reference layout: stack levels last, flatten (dx, dy, py, px, lvl)
+    corr_feat = jnp.stack([c1, c2], axis=-1).reshape(coords.shape[0], -1)
+
+    inp = imap_buf[kk_slot]
+    E = ii.shape[0]
+    net, delta, weight = update_op(
+        params, net, inp, corr_feat, ix, jx, kk_ids, pair_ids,
+        num_segments=E, edge_mask=mask, mixed_precision=mixed_precision)
+
+    center = coords[:, P // 2, P // 2, :]
+    target = center + delta
+    weight = jnp.where(mask[:, None], weight, 0.0)
+
+    if run_ba:
+        xy_center = patch_xy[:, :, P // 2, P // 2]
+        poses, depth = ba_mod.bundle_adjust(
+            poses, xy_center, depth, intrinsics[0], target, weight,
+            1e-4, ii, jj, kk, mask, t0, t1, patch_base,
+            W=W, PC=PC, iterations=iterations)
+
+    return net, poses, depth, target, weight, delta
+
+
+@jax.jit
+def probe_median_delta(delta, mask):
+    """median ||delta|| over valid probe edges (reference dpvo.py:240-255)."""
+    nrm = jnp.linalg.norm(delta, axis=-1)
+    nrm = jnp.where(mask, nrm, jnp.nan)
+    return jnp.nanquantile(nrm, 0.5)
+
+
+# ---------------------------------------------------------------------------
+# keyframe compaction + edge compaction
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=('M', 'pmem', 'mem'),
+         donate_argnames=('poses', 'patch_xy', 'depth', 'intrinsics',
+                          'imap_buf', 'gmap_buf', 'fmap1_buf', 'fmap2_buf'))
+def shift_frames(poses, patch_xy, depth, intrinsics, imap_buf, gmap_buf,
+                 fmap1_buf, fmap2_buf, k, n, *, M, pmem, mem):
+    """Drop keyframe k: frames (k, n) shift down by one (dpvo.py:287-297).
+
+    Implemented as whole-buffer roll + range select — no index uploads.
+    """
+    def shift_rows(buf, lo, hi):
+        rolled = jnp.roll(buf, -1, axis=0)
+        idx = jnp.arange(buf.shape[0])
+        m = (idx >= lo) & (idx < hi)
+        return jnp.where(m.reshape((-1,) + (1,) * (buf.ndim - 1)), rolled, buf)
+
+    poses = shift_rows(poses, k, n - 1)
+    intrinsics = shift_rows(intrinsics, k, n - 1)
+    patch_xy = shift_rows(patch_xy, k * M, (n - 1) * M)
+    depth = shift_rows(depth, k * M, (n - 1) * M)
+
+    def shift_ring(buf, slots, rows_per_slot):
+        # slot s receives slot (s+1)%slots for frames i in [k, n-1)
+        rolled = jnp.roll(buf, -rows_per_slot, axis=0)
+        sl = jnp.arange(buf.shape[0]) // rows_per_slot
+        affected = ((sl - (k % slots)) % slots) < jnp.minimum(n - 1 - k, slots)
+        return jnp.where(affected.reshape((-1,) + (1,) * (buf.ndim - 1)),
+                         rolled, buf)
+
+    imap_buf = shift_ring(imap_buf, pmem, M)
+    gmap_buf = shift_ring(gmap_buf, pmem, M)
+    fmap1_buf = shift_ring(fmap1_buf, mem, 1)
+    fmap2_buf = shift_ring(fmap2_buf, mem, 1)
+
+    return poses, patch_xy, depth, intrinsics, imap_buf, gmap_buf, fmap1_buf, fmap2_buf
+
+
+@jax.jit
+def gather_rows(buf, idx):
+    """Edge-buffer compaction/padding gather; idx < 0 rows become zero."""
+    safe = jnp.maximum(idx, 0)
+    out = buf[safe]
+    return jnp.where((idx >= 0).reshape((-1,) + (1,) * (buf.ndim - 1)), out, 0)

@@ -1,0 +1,350 @@
+"""Training: unrolled VONet forward, loss, optimizer step, DP sharding.
+
+Mirrors the reference training stack (train.py:44-171 and VONet.forward,
+net.py:187-272): incremental frame introduction after 8 unroll steps, two
+differentiable BA iterations per step, flow loss (min over patch pixels) +
+scale-aligned relative pose loss, AdamW + linear OneCycle, grad-norm clip 10.
+
+TPU-first differences:
+  * the whole unroll is one jitted graph (static edge schedule per step);
+  * data parallelism over a `jax.sharding.Mesh` axis 'dp' via sharding
+    annotations (replacing the reference's single-GPU loop, train.py:46-48);
+  * recurrent state detaches between steps with stop_gradient exactly where
+    the reference calls .detach() (net.py:223-224).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import lie
+from ..models.vonet import DIM, P, patchify_frame, update_op
+from ..ops.corr import corr as corr_op
+from ..ops.patchify import extract_patches
+from .ba import bundle_adjust_train
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# static edge schedule (reference net.py:208, 227-247)
+# ---------------------------------------------------------------------------
+
+def edge_schedule(T, M, steps):
+    """Python-side schedule: per unroll step the (ii, jj, kk) arrays and the
+    frame being introduced (or None). Shapes are static per step."""
+    ii, jj, kk = [], [], []
+    # initial graph: patches of frames < 8 x frames 0..7
+    for k in range(8 * M):
+        for j in range(8):
+            kk.append(k)
+            jj.append(j)
+            ii.append(k // M)
+    sched = []
+    n = 8
+    for s in range(steps):
+        new_frame = None
+        if s >= 8 and n < T:
+            new_frame = n
+            # edges: old patches -> new frame; new patches -> frames 0..n
+            for k in range((n + 1) * M):
+                if k < n * M:
+                    kk.append(k)
+                    jj.append(n)
+                    ii.append(k // M)
+            for k in range(n * M, (n + 1) * M):
+                for j in range(n + 1):
+                    kk.append(k)
+                    jj.append(j)
+                    ii.append(k // M)
+            n += 1
+        sched.append((np.array(ii, np.int32).copy(),
+                      np.array(jj, np.int32).copy(),
+                      np.array(kk, np.int32).copy(), new_frame, n))
+    return sched
+
+
+def _group_ids(ii, jj, kk):
+    _, kk_ids = np.unique(kk, return_inverse=True)
+    _, pair_ids = np.unique(ii.astype(np.int64) * 12345 + jj,
+                            return_inverse=True)
+    E = len(ii)
+    ix = np.full(E, -1, np.int64)
+    jx = np.full(E, -1, np.int64)
+    order = np.lexsort((np.arange(E), jj, kk))
+    sk = kk[order]
+    same = sk[1:] == sk[:-1]
+    ix[order[1:][same]] = order[:-1][same]
+    jx[order[:-1][same]] = order[1:][same]
+    return (kk_ids.astype(np.int32), pair_ids.astype(np.int32),
+            ix.astype(np.int32), jx.astype(np.int32))
+
+
+# ---------------------------------------------------------------------------
+# forward unroll for one sequence
+# ---------------------------------------------------------------------------
+
+def vonet_forward(params, images, poses_gt, disps_gt, intrinsics, coords,
+                  depth_init, sched, structure_only=False,
+                  mixed_precision=True):
+    """Unrolled trajectory estimation for ONE sequence.
+
+    images:    (T, H, W, 3) float32 raw [0, 255]
+    poses_gt:  (T, 7) world-to-camera SE3 (already inverted like train.py:81)
+    disps_gt:  (T, H//4, W//4) GT inverse depth at feature resolution
+    intrinsics:(4,) full-resolution; coords: (T, M, 2) patch centroids (1/4);
+    depth_init:(T, M) random initial inverse depths.
+    sched: output of edge_schedule.
+    Returns list of (valid, coords, coords_gt, Gs, loss-aux) per step.
+    """
+    T, M = coords.shape[0], coords.shape[1]
+    intr4 = intrinsics / 4.0
+
+    # run both encoders on all frames (batched — MXU-friendly)
+    feats = jax.vmap(lambda im, co: patchify_frame(
+        params, 2.0 * (im / 255.0) - 0.5, co, mixed_precision))(images, coords)
+    fmap1 = feats['fmap1']                      # (T, H4, W4, 128)
+    fmap2 = feats['fmap2']
+    gmap = feats['gmap'].reshape(T * M, P, P, 128)
+    imap = feats['imap'].reshape(T * M, DIM)
+    patch_xy = feats['patch_xy'].reshape(T * M, 2, P, P)
+
+    # GT patch depth at centroids (reference patchify samples disps)
+    d_gt = jax.vmap(lambda dm, co: extract_patches(
+        dm[..., None], co, 0)[:, 0, 0, 0])(disps_gt, coords)  # (T, M)
+    depth_gt = d_gt.reshape(T * M)
+    depth = depth_init.reshape(T * M)
+
+    xy_center = patch_xy[:, :, P // 2, P // 2]
+
+    Gs = jnp.tile(jnp.asarray([0, 0, 0, 0, 0, 0, 1], jnp.float32), (T, 1))
+    if structure_only:
+        Gs = poses_gt
+
+    intr_rows = jnp.tile(intr4[None], (T, 1))
+
+    def transform_centers(poses, dep, ii, jj, kk):
+        fx, fy, cx, cy = intr4[0], intr4[1], intr4[2], intr4[3]
+        Gij = lie.se3_mul(poses[jj], lie.se3_inv(poses[ii]))
+        xy = patch_xy[kk]
+        d = dep[kk][:, None, None]
+        xn = (xy[:, 0] - cx) / fx
+        yn = (xy[:, 1] - cy) / fy
+        X0 = jnp.stack([xn, yn, jnp.ones_like(xn),
+                        jnp.broadcast_to(d, xn.shape)], axis=-1)
+        X1 = lie.se3_act4(Gij[:, None, None, :], X0)
+        Z = jnp.maximum(X1[..., 2], 0.1)
+        x1 = fx * X1[..., 0] / Z + cx
+        y1 = fy * X1[..., 1] / Z + cy
+        return jnp.stack([x1, y1], axis=-1), X1[..., 2]
+
+    H4, W4 = fmap1.shape[1], fmap1.shape[2]
+    bounds = jnp.asarray([-64.0, -64.0, W4 + 64.0, H4 + 64.0])
+
+    net_prev = jnp.zeros((0, DIM), jnp.bfloat16 if mixed_precision
+                         else jnp.float32)
+    traj = []
+    prev_E = 0
+    for (ii_np, jj_np, kk_np, new_frame, n) in sched:
+        E = len(ii_np)
+        ii = jnp.asarray(ii_np)
+        jj = jnp.asarray(jj_np)
+        kk = jnp.asarray(kk_np)
+        kk_ids, pair_ids, ix, jx = map(jnp.asarray, _group_ids(ii_np, jj_np, kk_np))
+
+        Gs = jax.lax.stop_gradient(Gs)
+        depth = jax.lax.stop_gradient(depth)
+
+        if new_frame is not None:
+            if not structure_only:
+                Gs = Gs.at[new_frame].set(Gs[new_frame - 1])
+            # new patches init: median depth of previous two frames
+            med = jnp.median(jax.lax.dynamic_slice(
+                depth, ((new_frame - 2) * M,), (2 * M,)))
+            depth = jax.lax.dynamic_update_slice(
+                depth, jnp.full((M,), med), (new_frame * M,))
+            # new edges are appended at the END of the table in edge_schedule,
+            # so their zero-init hidden states append at the end too
+            net_prev = jnp.concatenate(
+                [net_prev, jnp.zeros((E - prev_E, DIM), net_prev.dtype)], axis=0)
+        elif E != prev_E:
+            net_prev = jnp.concatenate(
+                [net_prev, jnp.zeros((E - prev_E, DIM), net_prev.dtype)], axis=0)
+
+        # reproject full patches for correlation
+        coords_full = _transform_full(Gs, patch_xy, depth, intr4, ii, jj, kk)
+        c1 = corr_op(gmap, fmap1, coords_full, kk, jj, radius=3)
+        c2 = corr_op(gmap, fmap2, coords_full / 4.0, kk, jj, radius=3)
+        corr_feat = jnp.stack([c1, c2], axis=-1).reshape(E, -1)
+
+        mask = jnp.ones((E,), bool)
+        net_prev, delta, weight = update_op(
+            params, net_prev, imap[kk], corr_feat, ix, jx, kk_ids, pair_ids,
+            num_segments=E, edge_mask=mask, mixed_precision=mixed_precision)
+
+        center = coords_full[:, P // 2, P // 2, :]
+        target = center + delta
+
+        for _ in range(2):
+            Gs, depth = bundle_adjust_train(
+                Gs, xy_center, depth, intr4, target, weight, ii, jj, kk,
+                bounds, W=T - 1, PC=T * M, fixedp=1,
+                structure_only=structure_only)
+
+        # supervision on short-range edges (reference net.py:264-268)
+        dij = jnp.abs(ii - jj)
+        sup = (dij > 0) & (dij <= 2)
+        co_pred = _transform_full(Gs, patch_xy, depth, intr4, ii, jj, kk)
+        co_gt, valid = _transform_full(
+            poses_gt, patch_xy, depth_gt, intr4, ii, jj, kk, with_valid=True)
+        traj.append((sup, valid, co_pred, co_gt, Gs, n))
+        prev_E = E
+
+    return traj
+
+
+def _transform_full(poses, patch_xy, depth, intr4, ii, jj, kk,
+                    with_valid=False):
+    fx, fy, cx, cy = intr4[0], intr4[1], intr4[2], intr4[3]
+    xy = patch_xy[kk]
+    d = depth[kk][:, None, None]
+    xn = (xy[:, 0] - cx) / fx
+    yn = (xy[:, 1] - cy) / fy
+    X0 = jnp.stack([xn, yn, jnp.ones_like(xn),
+                    jnp.broadcast_to(d, xn.shape)], axis=-1)
+    Gij = lie.se3_mul(poses[jj], lie.se3_inv(poses[ii]))
+    X1 = lie.se3_act4(Gij[:, None, None, :], X0)
+    Z = jnp.maximum(X1[..., 2], 0.1)
+    out = jnp.stack([fx * X1[..., 0] / Z + cx,
+                     fy * X1[..., 1] / Z + cy], axis=-1)
+    if with_valid:
+        return out, (X1[..., 2] > 0.2).astype(jnp.float32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# loss (reference train.py:85-120)
+# ---------------------------------------------------------------------------
+
+def kabsch_umeyama_scale(A, B):
+    """Optimal scale aligning B to A (reference train.py:31-41)."""
+    EA = A.mean(axis=0)
+    EB = B.mean(axis=0)
+    VarA = jnp.mean(jnp.sum((A - EA) ** 2, axis=-1))
+    H = (A - EA).T @ (B - EB) / A.shape[0]
+    D = jnp.linalg.svd(H, compute_uv=False)
+    return VarA / jnp.sum(D)
+
+
+def trajectory_loss(traj, poses_gt, flow_weight=0.1, pose_weight=10.0,
+                    structure_only=False):
+    total = 0.0
+    aux = {}
+    for i, (sup, valid, co_pred, co_gt, Gs, n) in enumerate(traj):
+        e = jnp.linalg.norm(co_pred - co_gt, axis=-1)      # (E, P, P)
+        e = e.reshape(e.shape[0], -1)
+        vflat = valid.reshape(e.shape[0], -1)
+        # min over patch pixels of valid supervised edges
+        e_masked = jnp.where(vflat > 0.5, e, jnp.inf)
+        e_min = jnp.min(e_masked, axis=-1)
+        w_sup = sup.astype(jnp.float32) * jnp.isfinite(e_min).astype(jnp.float32)
+        e_min = jnp.where(jnp.isfinite(e_min), e_min, 0.0)
+        flow_loss = jnp.sum(e_min * w_sup) / jnp.maximum(jnp.sum(w_sup), 1.0)
+        total = total + flow_weight * flow_loss
+
+        if not structure_only and i >= 2:
+            N = Gs.shape[0]
+            P1 = lie.se3_inv(Gs)
+            P2 = lie.se3_inv(poses_gt)
+            t1 = P1[:, :3]
+            t2 = P2[:, :3]
+            s = jax.lax.stop_gradient(
+                jnp.clip(kabsch_umeyama_scale(t2, t1), None, 10.0))
+            P1 = lie.se3_scale(P1, s)
+            iig, jjg = jnp.meshgrid(jnp.arange(N), jnp.arange(N),
+                                    indexing='ij')
+            iig, jjg = iig.ravel(), jjg.ravel()
+            offdiag = iig != jjg
+            dP = lie.se3_mul(lie.se3_inv(P1[iig]), P1[jjg])
+            dG = lie.se3_mul(lie.se3_inv(P2[iig]), P2[jjg])
+            e1 = lie.se3_log(lie.se3_mul(dP, lie.se3_inv(dG)))
+            tr = jnp.linalg.norm(e1[..., 0:3], axis=-1)
+            ro = jnp.linalg.norm(e1[..., 3:6], axis=-1)
+            wod = offdiag.astype(jnp.float32)
+            pose_loss = (jnp.sum(tr * wod) + jnp.sum(ro * wod)) / \
+                jnp.maximum(jnp.sum(wod), 1.0)
+            total = total + pose_weight * pose_loss
+            aux['tr'] = jnp.sum(tr * wod) / jnp.maximum(jnp.sum(wod), 1.0)
+            aux['ro'] = jnp.sum(ro * wod) / jnp.maximum(jnp.sum(wod), 1.0)
+    return total, aux
+
+
+# ---------------------------------------------------------------------------
+# optimizer + sharded train step
+# ---------------------------------------------------------------------------
+
+def make_optimizer(lr=8e-5, total_steps=240000, clip=10.0):
+    """AdamW + linear OneCycle (reference train.py:64-67)."""
+    sched = optax.linear_onecycle_schedule(
+        transition_steps=total_steps, peak_value=lr, pct_start=0.01,
+        pct_final=0.99, div_factor=25.0, final_div_factor=1e4)
+    return optax.chain(
+        optax.clip_by_global_norm(clip),
+        optax.adamw(sched, weight_decay=1e-6),
+    )
+
+
+def make_train_step(optimizer, sched, structure_only=False,
+                    mixed_precision=True, mesh=None):
+    """Build the jitted (optionally DP-sharded) train step.
+
+    batch: dict with leading batch axis B (sharded over mesh axis 'dp'):
+      images (B,T,H,W,3), poses_gt (B,T,7), disps (B,T,H4,W4),
+      intrinsics (B,4), coords (B,T,M,2), depth_init (B,T,M)
+    """
+    from ..models.vonet import VONetParams
+
+    def loss_fn(params_f32, batch):
+        # mixed-precision training: bf16 compute copy derived INSIDE the
+        # traced function so gradients flow back to the f32 master weights
+        params = VONetParams(
+            f32=params_f32,
+            bf16={k: v.astype(jnp.bfloat16) for k, v in params_f32.items()})
+
+        def seq_loss(images, poses_gt, disps, intrinsics, coords, depth_init):
+            traj = vonet_forward(params, images, poses_gt, disps, intrinsics,
+                                 coords, depth_init, sched,
+                                 structure_only=structure_only,
+                                 mixed_precision=mixed_precision)
+            loss, aux = trajectory_loss(traj, poses_gt,
+                                        structure_only=structure_only)
+            return loss, aux
+
+        losses, aux = jax.vmap(seq_loss)(
+            batch['images'], batch['poses_gt'], batch['disps'],
+            batch['intrinsics'], batch['coords'], batch['depth_init'])
+        return losses.mean(), aux
+
+    def step(params, opt_state, batch):
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+    repl = NamedSharding(mesh, PS())
+    batch_sh = NamedSharding(mesh, PS('dp'))
+    batch_spec = dict(images=batch_sh, poses_gt=batch_sh, disps=batch_sh,
+                      intrinsics=batch_sh, coords=batch_sh,
+                      depth_init=batch_sh)
+    return jax.jit(step, donate_argnums=(0, 1),
+                   in_shardings=(repl, repl, batch_spec),
+                   out_shardings=(repl, repl, repl, repl))

@@ -1,0 +1,3 @@
+from .timing import Timer, all_times
+
+__all__ = ['Timer', 'all_times']

@@ -1,0 +1,181 @@
+"""Lie-group identity + Jacobian tests.
+
+Mirrors the reference's op-level test strategy
+(dpvo/lietorch/run_tests.py:16-52: Log(Exp(x))==x, X*X^-1==e, adjoint identity,
+act vs matrix) plus numerical-vs-autodiff gradient checks.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpvo_tpu import lie
+
+RNG = np.random.RandomState(42)
+
+
+def rand_tangent(dim, n=32, scale=1.0):
+    x = RNG.randn(n, dim).astype(np.float32) * scale
+    return jnp.asarray(x)
+
+
+GROUPS = {
+    'so3': dict(dim=3, exp=lie.so3_exp, log=lie.so3_log, inv=lie.so3_inv,
+                mul=lie.so3_mul, act=lie.so3_act,
+                matrix=lambda d: lie.quat_to_matrix(d), identity_w=3),
+    'se3': dict(dim=6, exp=lie.se3_exp, log=lie.se3_log, inv=lie.se3_inv,
+                mul=lie.se3_mul, act=lie.se3_act, matrix=lie.se3_matrix,
+                identity_w=6),
+    'sim3': dict(dim=7, exp=lie.sim3_exp, log=lie.sim3_log, inv=lie.sim3_inv,
+                 mul=lie.sim3_mul, act=lie.sim3_act, matrix=lie.sim3_matrix,
+                 identity_w=6),
+}
+
+
+@pytest.mark.parametrize('name', list(GROUPS))
+def test_exp_log_inverse(name):
+    g = GROUPS[name]
+    xi = rand_tangent(g['dim'], scale=0.7)
+    X = g['exp'](xi)
+    xi2 = g['log'](X)
+    # Sim3 passes through a 3x3 solve; loosen like the reference does for Sim3
+    # (dpvo/lietorch/run_tests.py:264-266 uses 1e-3).
+    atol = 2e-4 if name == 'sim3' else 2e-5
+    np.testing.assert_allclose(np.asarray(xi2), np.asarray(xi), atol=atol)
+
+
+@pytest.mark.parametrize('name', list(GROUPS))
+def test_exp_log_small_angle(name):
+    g = GROUPS[name]
+    xi = rand_tangent(g['dim'], scale=1e-5)
+    X = g['exp'](xi)
+    xi2 = g['log'](X)
+    # sim3 roundtrips through exp/log of the scale and a 3x3 solve; fp32
+    # representation noise near identity dominates there.
+    atol = 1e-5 if name == 'sim3' else 1e-7
+    np.testing.assert_allclose(np.asarray(xi2), np.asarray(xi), atol=atol)
+
+
+@pytest.mark.parametrize('name', list(GROUPS))
+def test_inv_mul_identity(name):
+    g = GROUPS[name]
+    xi = rand_tangent(g['dim'], scale=0.7)
+    X = g['exp'](xi)
+    e = g['mul'](X, g['inv'](X))
+    xi0 = g['log'](e)
+    np.testing.assert_allclose(np.asarray(xi0), 0.0, atol=1e-5)
+
+
+@pytest.mark.parametrize('name', list(GROUPS))
+def test_act_matches_matrix(name):
+    g = GROUPS[name]
+    xi = rand_tangent(g['dim'], n=8, scale=0.5)
+    X = g['exp'](xi)
+    p = jnp.asarray(RNG.randn(8, 3).astype(np.float32))
+    y1 = g['act'](X, p)
+    M = g['matrix'](X)
+    if M.shape[-1] == 4:
+        p4 = jnp.concatenate([p, jnp.ones((8, 1))], axis=-1)
+        y2 = jnp.einsum('nij,nj->ni', M, p4)[..., :3]
+    else:
+        y2 = jnp.einsum('nij,nj->ni', M, p)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_se3_mul_associative_with_act():
+    xi = rand_tangent(6, n=4, scale=0.5)
+    a, b = lie.se3_exp(xi[:2]), lie.se3_exp(xi[2:])
+    p = jnp.asarray(RNG.randn(2, 3).astype(np.float32))
+    y1 = lie.se3_act(lie.se3_mul(a, b), p)
+    y2 = lie.se3_act(a, lie.se3_act(b, p))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_se3_adjT_definition():
+    """<Ad^T X, xi> == <X, Ad xi> for all X, xi."""
+    xi0 = rand_tangent(6, n=1, scale=0.5)
+    G = lie.se3_exp(xi0)
+    X = rand_tangent(6, n=16)
+    v = rand_tangent(6, n=16)
+    lhs = jnp.sum(lie.se3_adjT(G, X) * v, axis=-1)
+    rhs = jnp.sum(X * lie.se3_adj(G, v), axis=-1)
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-4)
+
+
+def test_se3_adj_via_conjugation():
+    """exp(Ad_G xi) == G exp(xi) G^-1."""
+    G = lie.se3_exp(rand_tangent(6, n=1, scale=0.4))
+    xi = rand_tangent(6, n=8, scale=0.3)
+    lhs = lie.se3_exp(lie.se3_adj(G, xi))
+    rhs = lie.se3_mul(lie.se3_mul(G, lie.se3_exp(xi)), lie.se3_inv(G))
+    np.testing.assert_allclose(np.asarray(lie.se3_log(lhs)),
+                               np.asarray(lie.se3_log(rhs)), atol=1e-4)
+
+
+def test_se3_retr_zero_noop():
+    G = lie.se3_exp(rand_tangent(6, n=8, scale=0.5))
+    G2 = lie.se3_retr(G, jnp.zeros((8, 6)))
+    np.testing.assert_allclose(np.asarray(G2), np.asarray(G), atol=1e-6)
+
+
+def test_sim3_scale_composition():
+    a = lie.sim3_exp(rand_tangent(7, n=4, scale=0.4))
+    b = lie.sim3_exp(rand_tangent(7, n=4, scale=0.4))
+    c = lie.sim3_mul(a, b)
+    np.testing.assert_allclose(np.asarray(c[..., 7]),
+                               np.asarray(a[..., 7] * b[..., 7]), rtol=1e-5)
+
+
+@pytest.mark.parametrize('name,scale', [('so3', 0.5), ('se3', 0.5), ('sim3', 0.4)])
+def test_exp_gradcheck(name, scale):
+    """Numerical vs autodiff Jacobian of exp (analog of run_tests.py:253-300)."""
+    g = GROUPS[name]
+    xi = np.asarray(rand_tangent(g['dim'], n=1, scale=scale))[0]
+
+    def f(x):
+        return g['exp'](x)
+
+    J_auto = np.asarray(jax.jacobian(f)(jnp.asarray(xi)))
+    eps = 1e-3
+    J_num = np.zeros_like(J_auto)
+    for k in range(g['dim']):
+        d = np.zeros_like(xi)
+        d[k] = eps
+        J_num[:, k] = (np.asarray(f(jnp.asarray(xi + d))) -
+                       np.asarray(f(jnp.asarray(xi - d)))) / (2 * eps)
+    np.testing.assert_allclose(J_auto, J_num, atol=2e-3)
+
+
+@pytest.mark.parametrize('name,scale', [('so3', 0.5), ('se3', 0.5), ('sim3', 0.3)])
+def test_log_gradcheck(name, scale):
+    g = GROUPS[name]
+    xi = np.asarray(rand_tangent(g['dim'], n=1, scale=scale))[0]
+    X = np.asarray(g['exp'](jnp.asarray(xi)))
+
+    def f(x):
+        return g['log'](x)
+
+    J_auto = np.asarray(jax.jacobian(f)(jnp.asarray(X)))
+    eps = 1e-3
+    J_num = np.zeros_like(J_auto)
+    for k in range(X.shape[0]):
+        d = np.zeros_like(X)
+        d[k] = eps
+        J_num[:, k] = (np.asarray(f(jnp.asarray(X + d))) -
+                       np.asarray(f(jnp.asarray(X - d)))) / (2 * eps)
+    np.testing.assert_allclose(J_auto, J_num, atol=5e-3)
+
+
+def test_class_wrappers_jit():
+    """SE3 class passes through jit as a pytree."""
+    from dpvo_tpu.lie import SE3
+
+    @jax.jit
+    def compose(a, b):
+        return (a * b).inv()
+
+    a = SE3.exp(rand_tangent(6, n=4, scale=0.5))
+    b = SE3.exp(rand_tangent(6, n=4, scale=0.5))
+    out = compose(a, b)
+    ref = lie.se3_inv(lie.se3_mul(a.data, b.data))
+    np.testing.assert_allclose(np.asarray(out.data), np.asarray(ref), atol=1e-6)

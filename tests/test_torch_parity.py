@@ -1,0 +1,204 @@
+"""Checkpoint-conversion parity: JAX model vs torch mirror, same weights.
+
+Builds torch modules with the reference's exact state_dict structure
+(dpvo/extractor.py:200-264, net.py:27-92), runs both on the same input, and
+checks outputs match. This validates the converter's layout rules and the
+functional reimplementation in one shot — so a real dpvo.pth loads
+correctly.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+import torch.nn as nn  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from dpvo_tpu.models.checkpoint import convert_torch_state_dict  # noqa: E402
+from dpvo_tpu.models.extractor import basic_encoder4  # noqa: E402
+from dpvo_tpu.models.vonet import VONetParams, update_op  # noqa: E402
+
+DIM = 384
+
+
+class TorchResidualBlock(nn.Module):
+    def __init__(self, in_planes, planes, norm_fn='instance', stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_planes, planes, 3, padding=1, stride=stride)
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=1)
+        self.relu = nn.ReLU(inplace=True)
+        if norm_fn == 'instance':
+            self.norm1 = nn.InstanceNorm2d(planes)
+            self.norm2 = nn.InstanceNorm2d(planes)
+            if stride != 1:
+                self.norm3 = nn.InstanceNorm2d(planes)
+        else:
+            self.norm1 = nn.Sequential()
+            self.norm2 = nn.Sequential()
+            if stride != 1:
+                self.norm3 = nn.Sequential()
+        if stride == 1:
+            self.downsample = None
+        else:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(in_planes, planes, 1, stride=stride), self.norm3)
+
+    def forward(self, x):
+        y = self.relu(self.norm1(self.conv1(x)))
+        y = self.relu(self.norm2(self.conv2(y)))
+        if self.downsample is not None:
+            x = self.downsample(x)
+        return self.relu(x + y)
+
+
+class TorchBasicEncoder4(nn.Module):
+    def __init__(self, output_dim=128, norm_fn='instance'):
+        super().__init__()
+        D = 32
+        if norm_fn == 'instance':
+            self.norm1 = nn.InstanceNorm2d(D)
+        else:
+            self.norm1 = nn.Sequential()
+        self.conv1 = nn.Conv2d(3, D, 7, stride=2, padding=3)
+        self.relu1 = nn.ReLU(inplace=True)
+        self.layer1 = nn.Sequential(TorchResidualBlock(D, D, norm_fn, 1),
+                                    TorchResidualBlock(D, D, norm_fn, 1))
+        self.layer2 = nn.Sequential(TorchResidualBlock(D, 2 * D, norm_fn, 2),
+                                    TorchResidualBlock(2 * D, 2 * D, norm_fn, 1))
+        self.conv2 = nn.Conv2d(2 * D, output_dim, 1)
+
+    def forward(self, x):
+        x = self.relu1(self.norm1(self.conv1(x)))
+        x = self.layer1(x)
+        x = self.layer2(x)
+        return self.conv2(x)
+
+
+def test_encoder_parity():
+    torch.manual_seed(0)
+    enc = TorchBasicEncoder4(128, 'instance').eval()
+    sd = {f'fnet.{k}': v for k, v in enc.state_dict().items()}
+    params = VONetParams.from_f32(convert_torch_state_dict(sd))
+
+    x = np.random.RandomState(1).randn(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        ref = enc(torch.from_numpy(x)).numpy()          # (1, 128, 16, 24)
+
+    out = basic_encoder4(params.f32, 'fnet',
+                         jnp.asarray(x.transpose(0, 2, 3, 1)), 'instance')
+    out = np.asarray(out).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-3)
+
+
+class TorchGatedResidual(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.gate = nn.Sequential(nn.Linear(dim, dim), nn.Sigmoid())
+        self.res = nn.Sequential(nn.Linear(dim, dim), nn.ReLU(inplace=True),
+                                 nn.Linear(dim, dim))
+
+    def forward(self, x):
+        return x + self.gate(x) * self.res(x)
+
+
+class TorchSoftAgg(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.f = nn.Linear(dim, dim)
+        self.g = nn.Linear(dim, dim)
+        self.h = nn.Linear(dim, dim)
+
+    def forward(self, x, ix):
+        # scatter_softmax + scatter_sum via dense ops (test-only, small E)
+        _, jx = torch.unique(ix, return_inverse=True)
+        G = self.g(x)
+        n = int(jx.max()) + 1
+        w = torch.zeros_like(G)
+        for s in range(n):
+            m = jx == s
+            w[m] = torch.softmax(G[m], dim=0)
+        y = torch.zeros(n, x.shape[1])
+        y.index_add_(0, jx, self.f(x) * w)
+        return self.h(y)[jx]
+
+
+class TorchUpdate(nn.Module):
+    """Mirror of the reference Update operator (dpvo/net.py:27-92)."""
+
+    def __init__(self, p=3):
+        super().__init__()
+        self.c1 = nn.Sequential(nn.Linear(DIM, DIM), nn.ReLU(inplace=True),
+                                nn.Linear(DIM, DIM))
+        self.c2 = nn.Sequential(nn.Linear(DIM, DIM), nn.ReLU(inplace=True),
+                                nn.Linear(DIM, DIM))
+        self.norm = nn.LayerNorm(DIM, eps=1e-3)
+        self.agg_kk = TorchSoftAgg(DIM)
+        self.agg_ij = TorchSoftAgg(DIM)
+        self.gru = nn.Sequential(
+            nn.LayerNorm(DIM, eps=1e-3), TorchGatedResidual(DIM),
+            nn.LayerNorm(DIM, eps=1e-3), TorchGatedResidual(DIM))
+        self.corr = nn.Sequential(
+            nn.Linear(2 * 49 * p * p, DIM), nn.ReLU(inplace=True),
+            nn.Linear(DIM, DIM), nn.LayerNorm(DIM, eps=1e-3),
+            nn.ReLU(inplace=True), nn.Linear(DIM, DIM))
+        self.d = nn.Sequential(nn.ReLU(inplace=False), nn.Linear(DIM, 2))
+        self.w = nn.Sequential(nn.ReLU(inplace=False), nn.Linear(DIM, 2),
+                               nn.Sigmoid())
+
+    def forward(self, net, inp, corr, ixn, jxn, kk, pair):
+        net = net + inp + self.corr(corr)
+        net = self.norm(net)
+        mask_ix = (ixn >= 0).float().reshape(-1, 1)
+        mask_jx = (jxn >= 0).float().reshape(-1, 1)
+        net = net + self.c1(mask_ix * net[ixn.clamp(min=0)])
+        net = net + self.c2(mask_jx * net[jxn.clamp(min=0)])
+        net = net + self.agg_kk(net, kk)
+        net = net + self.agg_ij(net, pair)
+        net = self.gru(net)
+        return net, self.d(net), self.w(net)
+
+
+def test_update_op_parity():
+    torch.manual_seed(0)
+    upd = TorchUpdate().eval().float()
+    sd = {f'update.{k}': v for k, v in upd.state_dict().items()}
+    params = VONetParams.from_f32(convert_torch_state_dict(sd))
+
+    E = 24
+    rng = np.random.RandomState(2)
+    net = rng.randn(E, DIM).astype(np.float32) * 0.1
+    inp = rng.randn(E, DIM).astype(np.float32) * 0.1
+    corr = rng.randn(E, 2 * 49 * 9).astype(np.float32) * 0.1
+    kk = rng.randint(0, 6, E)
+    ii = rng.randint(0, 3, E)
+    jj = rng.randint(0, 3, E)
+
+    # neighbors (host rule used by the runtime)
+    ix = np.full(E, -1)
+    jx = np.full(E, -1)
+    order = np.lexsort((np.arange(E), jj, kk))
+    sk = kk[order]
+    same = sk[1:] == sk[:-1]
+    ix[order[1:][same]] = order[:-1][same]
+    jx[order[:-1][same]] = order[1:][same]
+
+    with torch.no_grad():
+        ref_net, ref_d, ref_w = upd(
+            torch.from_numpy(net), torch.from_numpy(inp),
+            torch.from_numpy(corr), torch.from_numpy(ix),
+            torch.from_numpy(jx), torch.from_numpy(kk),
+            torch.from_numpy(ii * 12345 + jj))
+
+    _, kk_ids = np.unique(kk, return_inverse=True)
+    _, pair_ids = np.unique(ii * 12345 + jj, return_inverse=True)
+    out_net, out_d, out_w = update_op(
+        params, jnp.asarray(net), jnp.asarray(inp), jnp.asarray(corr),
+        jnp.asarray(ix.astype(np.int32)), jnp.asarray(jx.astype(np.int32)),
+        jnp.asarray(kk_ids.astype(np.int32)),
+        jnp.asarray(pair_ids.astype(np.int32)),
+        num_segments=E, edge_mask=jnp.ones(E, bool), mixed_precision=False)
+
+    np.testing.assert_allclose(np.asarray(out_net), ref_net.numpy(),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_d), ref_d.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_w), ref_w.numpy(), atol=2e-4)
