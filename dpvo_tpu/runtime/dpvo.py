@@ -25,7 +25,7 @@ from .. import lie
 from ..models.checkpoint import load_network
 from ..models.vonet import DIM, P, RES, VONetParams, init_vonet_params
 from . import numpy_se3 as nse3
-from .state import (edge_bucket, gather_rows, patchify_step,
+from .state import (edge_bucket, frame_step, gather_rows, patchify_step,
                     probe_median_delta, shift_frames, store_frame,
                     update_step)
 
@@ -100,6 +100,12 @@ class DPVO:
         self.kk_inac = np.zeros(0, np.int32)
         self.targ_inac = np.zeros((0, 2), np.float32)
         self.w_inac = np.zeros((0, 2), np.float32)
+
+        # deferred device operations (fused into the next frame_step)
+        self._pending_kf_k = -1
+        self._pending_perm = None
+        self._use_pallas = jax.default_backend() == 'tpu' or \
+            jax.default_backend() == 'axon'
 
         self.n = 0           # frame count
         self.m = 0           # patch count
@@ -231,39 +237,35 @@ class DPVO:
         tab[8, :E] = pair_ids
         return jnp.asarray(tab), jnp.asarray(mask), cap
 
-    def _resize_edge_buffers(self, cap):
-        if self.net_dev.shape[0] != cap:
-            idx = np.full(cap, -1, np.int32)
-            k = min(cap, self.net_dev.shape[0], len(self.ii))
-            idx[:k] = np.arange(k)
-            idx_dev = jnp.asarray(idx)
-            self.net_dev = gather_rows(self.net_dev, idx_dev)
-            self.target_dev = gather_rows(self.target_dev, idx_dev)
-            self.weight_dev = gather_rows(self.weight_dev, idx_dev)
-            self._ecap = cap
-
     # ------------------------------------------------------------------ #
     # edge lifecycle (reference dpvo.py:215-238, 362-375)
     # ------------------------------------------------------------------ #
 
     def append_factors(self, kk_new, jj_new):
+        """Append edges host-side; device rows appear (zeroed) at the next
+        fused gather — appended slots map to perm index -1."""
         kk_new = np.asarray(kk_new, np.int32)
         jj_new = np.asarray(jj_new, np.int32)
-        E0 = len(self.ii)
+        if self._pending_perm is None:
+            self._pending_perm = np.arange(len(self.ii), dtype=np.int32)
         self.kk = np.concatenate([self.kk, kk_new])
         self.jj = np.concatenate([self.jj, jj_new])
         self.ii = np.concatenate([self.ii, (kk_new // self.M)])
-        cap = edge_bucket(len(self.ii))
-        self._resize_edge_buffers(cap)
-        # new net rows must be zero: rows beyond E0 were zeroed by gather_rows
-        # (or were never written)
+        self._pending_perm = np.concatenate(
+            [self._pending_perm, np.full(len(kk_new), -1, np.int32)])
 
     def remove_factors(self, m, store):
-        """m: bool mask over active edges to drop (True = remove)."""
+        """m: bool mask over active edges to drop (True = remove).
+
+        Device-buffer compaction is DEFERRED: the permutation accumulates in
+        self._pending_perm and is applied inside the next frame_step (or by
+        _flush_pending) — one fused gather instead of per-event dispatches.
+        """
         if m.sum() == 0:
             return
-        if store:
+        if store and self.cfg.LOOP_CLOSURE:
             # fetch freshest target/weight rows for the retired edges
+            self._flush_pending()
             tw = np.asarray(self.target_dev)[:len(self.ii)][m]
             ww = np.asarray(self.weight_dev)[:len(self.ii)][m]
             self.ii_inac = np.concatenate([self.ii_inac, self.ii[m]])
@@ -271,19 +273,45 @@ class DPVO:
             self.kk_inac = np.concatenate([self.kk_inac, self.kk[m]])
             self.targ_inac = np.concatenate([self.targ_inac, tw])
             self.w_inac = np.concatenate([self.w_inac, ww])
-        keep = ~m
-        E1 = int(keep.sum())
-        cap = edge_bucket(max(E1, 1))
+        keep_idx = np.nonzero(~m)[0].astype(np.int32)
+        if self._pending_perm is None:
+            self._pending_perm = keep_idx
+        else:
+            self._pending_perm = self._pending_perm[keep_idx]
+        self.ii = self.ii[~m]
+        self.jj = self.jj[~m]
+        self.kk = self.kk[~m]
+
+    def _edge_perm(self, cap):
+        """The pending device-row permutation padded to capacity `cap`."""
         idx = np.full(cap, -1, np.int32)
-        idx[:E1] = np.nonzero(keep)[0]
-        idx_dev = jnp.asarray(idx)
-        self.net_dev = gather_rows(self.net_dev, idx_dev)
-        self.target_dev = gather_rows(self.target_dev, idx_dev)
-        self.weight_dev = gather_rows(self.weight_dev, idx_dev)
-        self._ecap = cap
-        self.ii = self.ii[keep]
-        self.jj = self.jj[keep]
-        self.kk = self.kk[keep]
+        if self._pending_perm is not None:
+            idx[:len(self._pending_perm)] = self._pending_perm
+        else:
+            k = min(cap, self._ecap, len(self.ii))
+            idx[:k] = np.arange(k)
+        return idx
+
+    def _flush_pending(self):
+        """Apply deferred keyframe shift + edge compaction immediately."""
+        if self._pending_kf_k >= 0:
+            (self.poses_dev, self.patch_xy, self.depth_dev, self.intr_dev,
+             self.imap_dev, self.gmap_dev, self.fmap1_dev, self.fmap2_dev) = \
+                shift_frames(self.poses_dev, self.patch_xy, self.depth_dev,
+                             self.intr_dev, self.imap_dev, self.gmap_dev,
+                             self.fmap1_dev, self.fmap2_dev,
+                             jnp.int32(self._pending_kf_k),
+                             jnp.int32(self.n + 1),
+                             M=self.M, pmem=self.pmem, mem=self.mem)
+            self._pending_kf_k = -1
+        cap = edge_bucket(max(len(self.ii), 1))
+        if self._pending_perm is not None or cap != self._ecap:
+            idx_dev = jnp.asarray(self._edge_perm(cap))
+            self.net_dev = gather_rows(self.net_dev, idx_dev)
+            self.target_dev = gather_rows(self.target_dev, idx_dev)
+            self.weight_dev = gather_rows(self.weight_dev, idx_dev)
+            self._ecap = cap
+            self._pending_perm = None
 
     def __edges_forw(self):
         r = self.cfg.PATCH_LIFETIME
@@ -307,8 +335,10 @@ class DPVO:
     # ------------------------------------------------------------------ #
 
     def _run_update(self, run_ba=True):
+        """Standalone update+BA dispatch (bootstrap / terminate path; the
+        steady-state per-frame path runs fused inside frame_step)."""
+        self._flush_pending()
         tab, mask, cap = self._edge_table(self.ii, self.jj, self.kk)
-        self._resize_edge_buffers(cap)
 
         # long-range edges trigger global BA (reference dpvo.py:345-354)
         use_global = (run_ba and
@@ -329,7 +359,8 @@ class DPVO:
             jnp.int32(t0), jnp.int32(self.n), jnp.int32(patch_base),
             W=self.W_CAP, PC=self.PC_CAP, iterations=2,
             run_ba=run_ba and not use_global,
-            mixed_precision=self.cfg.MIXED_PRECISION)
+            mixed_precision=self.cfg.MIXED_PRECISION,
+            use_pallas_corr=self._use_pallas)
 
         if use_global:
             self._run_global_ba()
@@ -405,7 +436,8 @@ class DPVO:
             self.fmap2_dev, net, tab, mask,
             jnp.int32(1), jnp.int32(self.n), jnp.int32(0),
             W=self.W_CAP, PC=self.PC_CAP, iterations=2, run_ba=False,
-            mixed_precision=self.cfg.MIXED_PRECISION)
+            mixed_precision=self.cfg.MIXED_PRECISION,
+            use_pallas_corr=self._use_pallas)
         _, self.poses_dev, self.depth_dev, _, _, delta = out
         return float(probe_median_delta(delta, mask))
 
@@ -442,14 +474,10 @@ class DPVO:
             self.ii[self.ii > k] -= 1
             self.jj[self.jj > k] -= 1
 
-            # device-side frame compaction
-            (self.poses_dev, self.patch_xy, self.depth_dev, self.intr_dev,
-             self.imap_dev, self.gmap_dev, self.fmap1_dev, self.fmap2_dev) = \
-                shift_frames(self.poses_dev, self.patch_xy, self.depth_dev,
-                             self.intr_dev, self.imap_dev, self.gmap_dev,
-                             self.fmap1_dev, self.fmap2_dev,
-                             jnp.int32(k), jnp.int32(self.n),
-                             M=self.M, pmem=self.pmem, mem=self.mem)
+            # device-side frame compaction is DEFERRED into the next
+            # frame_step (kf_k); host mirrors shift immediately
+            assert self._pending_kf_k < 0, 'one keyframe removal per frame'
+            self._pending_kf_k = k
 
             # host mirrors
             sl = slice(k, self.n - 1)
@@ -497,60 +525,58 @@ class DPVO:
 
         image_dev = jnp.asarray(np.ascontiguousarray(image), jnp.uint8)
         coords = self._select_coords(image_dev)
-        feats = patchify_step(self.params, image_dev, jnp.asarray(coords),
-                              mixed_precision=self.cfg.MIXED_PRECISION)
 
-        n, M = self.n, self.M
+        ns, M = self.n, self.M
         self.tlist.append(tstamp)
-        self.tstamps_[n] = self.counter
-
-        clr = np.asarray(feats['clr'])
-        self.colors_np[n] = np.clip(clr[:, [2, 1, 0]], 0, 255).astype(np.uint8)
+        self.tstamps_[ns] = self.counter
 
         # motion model (reference dpvo.py:410-424)
-        if self.n > 1 and self.cfg.MOTION_MODEL == 'DAMPED_LINEAR':
-            P1 = self.poses_np[n - 1]
-            P2 = self.poses_np[n - 2]
+        if ns > 1 and self.cfg.MOTION_MODEL == 'DAMPED_LINEAR':
+            P1 = self.poses_np[ns - 1]
+            P2 = self.poses_np[ns - 2]
             *_, a, b, c = [1] * 3 + self.tlist
             fac = (c - b) / (b - a) if b != a else 1.0
             xi = self.cfg.MOTION_DAMPING * fac * \
                 nse3.log(nse3.mul(P1, nse3.inv(P2)))
             pose_init = nse3.mul(nse3.exp(xi), P1)
-        elif self.n > 1:
-            pose_init = self.poses_np[n - 1].copy()
         else:
-            pose_init = self.poses_np[max(n - 1, 0)].copy()
+            pose_init = self.poses_np[max(ns - 1, 0)].copy()
 
         # patch depth init (reference dpvo.py:426-431)
         if self.is_initialized:
-            s = np.median(self.depth_np[(n - 3) * M:n * M])
+            s = np.median(self.depth_np[(ns - 3) * M:ns * M])
             depth_init = np.full(M, s, np.float32)
         else:
             depth_init = self.rng.rand(M).astype(np.float32)
 
-        (self.poses_dev, self.patch_xy, self.depth_dev, self.intr_dev,
-         self.imap_dev, self.gmap_dev, self.fmap1_dev, self.fmap2_dev) = \
-            store_frame(
-                self.poses_dev, self.patch_xy, self.depth_dev, self.intr_dev,
-                self.imap_dev, self.gmap_dev, self.fmap1_dev, self.fmap2_dev,
-                feats, jnp.int32(n), jnp.int32(n % self.pmem),
-                jnp.int32(n % self.mem), jnp.asarray(pose_init),
-                jnp.asarray(self.intr_np), jnp.asarray(depth_init))
-
-        # host mirrors
-        self.poses_np[n] = pose_init
-        self.centers_np[n * M:(n + 1) * M] = coords
-        self.depth_np[n * M:(n + 1) * M] = depth_init
-
+        # host mirrors for the new frame
+        self.poses_np[ns] = pose_init
+        self.centers_np[ns * M:(ns + 1) * M] = coords
+        self.depth_np[ns * M:(ns + 1) * M] = depth_init
         self.counter += 1
-        if self.n > 0 and not self.is_initialized:
-            if self.motion_probe() < 2.0:
+
+        if not self.is_initialized:
+            # store-only step, then the learned motion probe
+            clr = self._fused_step(image_dev, coords, pose_init, depth_init,
+                                   ns, do_update=False, run_ba=False)
+            self._set_colors(ns, clr)
+            if ns > 0 and self.motion_probe() < 2.0:
                 self.delta[self.counter - 1] = (self.counter - 2,
                                                 nse3.identity())
                 return
+            self.n += 1
+            self.m += M
+            self.append_factors(*self.__edges_forw())
+            self.append_factors(*self.__edges_back())
+            if self.n == 8:
+                self.is_initialized = True
+                for _ in range(12):
+                    self.update()
+            return
 
+        # ---------------- initialized: one fused dispatch ---------------- #
         self.n += 1
-        self.m += self.M
+        self.m += M
 
         if self.cfg.LOOP_CLOSURE:
             if self.n - self.last_global_ba >= self.cfg.GLOBAL_OPT_FREQ:
@@ -562,17 +588,78 @@ class DPVO:
         self.append_factors(*self.__edges_forw())
         self.append_factors(*self.__edges_back())
 
-        if self.n == 8 and not self.is_initialized:
-            self.is_initialized = True
-            for _ in range(12):
-                self.update()
-        elif self.is_initialized:
-            self.update()
-            self.keyframe()
+        use_global = (self.cfg.LOOP_CLOSURE and
+                      (self.ii < self.n - self.cfg.REMOVAL_WINDOW - 1).any()
+                      and not self.ran_global_ba[self.n])
+
+        clr = self._fused_step(image_dev, coords, pose_init, depth_init,
+                               ns, do_update=True, run_ba=not use_global)
+        self._set_colors(ns, clr)
+
+        if use_global:
+            self._run_global_ba()
+            self.depth_np = np.array(self.depth_dev)
+            self.poses_np = np.array(self.poses_dev)
+
+        self.keyframe()
 
         if self.cfg.CLASSIC_LOOP_CLOSURE and self.long_term_lc:
             self.long_term_lc.attempt_loop_closure(self.n)
             self.long_term_lc.lc_callback()
+
+    def _set_colors(self, ns, clr):
+        self.colors_np[ns] = np.clip(
+            np.asarray(clr)[:, [2, 1, 0]], 0, 255).astype(np.uint8)
+
+    def _fused_step(self, image_dev, coords, pose_init, depth_init, ns,
+                    do_update, run_ba):
+        """One frame_step dispatch; updates device buffers + host mirrors."""
+        if do_update:
+            tab, mask, cap = self._edge_table(self.ii, self.jj, self.kk)
+        else:
+            cap = edge_bucket(max(len(self.ii), 1))
+            tab = jnp.zeros((9, cap), jnp.int32)
+            mask = jnp.zeros((cap,), bool)
+
+        perm = jnp.asarray(self._edge_perm(cap))
+
+        if self.is_initialized:
+            t0 = max(self.n - self.cfg.OPTIMIZATION_WINDOW, 1)
+        else:
+            t0 = 1
+        patch_base = max(self.n - self.cfg.REMOVAL_WINDOW - 2, 0) * self.M
+
+        (self.poses_dev, self.patch_xy, self.depth_dev, self.intr_dev,
+         self.imap_dev, self.gmap_dev, self.fmap1_dev, self.fmap2_dev,
+         self.net_dev, self.target_dev, self.weight_dev,
+         pose_win, depth_win, delta, clr) = frame_step(
+            self.params, self.poses_dev, self.patch_xy, self.depth_dev,
+            self.intr_dev, self.imap_dev, self.gmap_dev, self.fmap1_dev,
+            self.fmap2_dev, self.net_dev, self.target_dev, self.weight_dev,
+            image_dev, jnp.asarray(coords), tab, mask, perm,
+            jnp.asarray(pose_init), jnp.asarray(self.intr_np),
+            jnp.asarray(depth_init),
+            jnp.int32(ns), jnp.int32(ns % self.pmem), jnp.int32(ns % self.mem),
+            jnp.int32(t0), jnp.int32(patch_base),
+            jnp.int32(self._pending_kf_k),
+            W=self.W_CAP, PC=self.PC_CAP, iterations=2, run_ba=run_ba,
+            do_update=do_update, mixed_precision=self.cfg.MIXED_PRECISION,
+            M=self.M, pmem=self.pmem, mem=self.mem,
+            use_pallas_corr=self._use_pallas)
+
+        self._pending_kf_k = -1
+        self._pending_perm = None
+        self._ecap = cap
+
+        if do_update and run_ba:
+            # refresh host mirrors from the returned windows
+            pw = np.asarray(pose_win)
+            hi = min(t0 + self.W_CAP + 2, self.n)
+            self.poses_np[t0:hi] = pw[:hi - t0]
+            dw = np.asarray(depth_win)
+            self.depth_np[patch_base:patch_base + self.PC_CAP] = dw
+
+        return clr
 
     # ------------------------------------------------------------------ #
     # loop-closure proximity edges (reference patchgraph.py:56-82)

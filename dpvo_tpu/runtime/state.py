@@ -111,12 +111,14 @@ def _reproject(poses, patch_xy, depth, intrinsics, ii, jj, kk):
 
 
 @partial(jax.jit,
-         static_argnames=('W', 'PC', 'iterations', 'run_ba', 'mixed_precision'),
+         static_argnames=('W', 'PC', 'iterations', 'run_ba',
+                          'mixed_precision', 'use_pallas_corr'),
          donate_argnames=('poses', 'depth', 'net'))
 def update_step(params, poses, patch_xy, depth, intrinsics,
                 imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
                 net, edge_table, mask, t0, t1, patch_base,
-                *, W, PC, iterations=2, run_ba=True, mixed_precision=True):
+                *, W, PC, iterations=2, run_ba=True, mixed_precision=True,
+                use_pallas_corr=True):
     """One tracking/BA iteration over the (padded) active edge table.
 
     edge_table: (9, E) int32 rows [ii, jj, kk, kk_slot, jj_slot, ix, jx,
@@ -128,8 +130,14 @@ def update_step(params, poses, patch_xy, depth, intrinsics,
     coords = _reproject(poses, patch_xy, depth, intrinsics, ii, jj, kk)
 
     gmap_flat = gmap_buf                                  # (pmem*M, P, P, 128)
-    c1 = corr_op(gmap_flat, fmap1_buf, coords, kk_slot, jj_slot, radius=3)
-    c2 = corr_op(gmap_flat, fmap2_buf, coords / 4.0, kk_slot, jj_slot, radius=3)
+    if use_pallas_corr:
+        from ..ops.corr_pallas import corr_pallas
+        c1 = corr_pallas(gmap_flat, fmap1_buf, coords, kk_slot, jj_slot)
+        c2 = corr_pallas(gmap_flat, fmap2_buf, coords / 4.0, kk_slot, jj_slot)
+    else:
+        c1 = corr_op(gmap_flat, fmap1_buf, coords, kk_slot, jj_slot, radius=3)
+        c2 = corr_op(gmap_flat, fmap2_buf, coords / 4.0, kk_slot, jj_slot,
+                     radius=3)
     # reference layout: stack levels last, flatten (dx, dy, py, px, lvl)
     corr_feat = jnp.stack([c1, c2], axis=-1).reshape(coords.shape[0], -1)
 
@@ -207,3 +215,149 @@ def gather_rows(buf, idx):
     safe = jnp.maximum(idx, 0)
     out = buf[safe]
     return jnp.where((idx >= 0).reshape((-1,) + (1,) * (buf.ndim - 1)), out, 0)
+
+
+def _gather_rows_impl(buf, idx):
+    safe = jnp.maximum(idx, 0)
+    out = buf[safe]
+    return jnp.where((idx >= 0).reshape((-1,) + (1,) * (buf.ndim - 1)), out, 0)
+
+
+def _shift_frames_impl(poses, patch_xy, depth, intrinsics, imap_buf, gmap_buf,
+                       fmap1_buf, fmap2_buf, k, n, M, pmem, mem):
+    """Keyframe-removal compaction (same math as shift_frames, inlineable)."""
+    def shift_rows(buf, lo, hi):
+        rolled = jnp.roll(buf, -1, axis=0)
+        idx = jnp.arange(buf.shape[0])
+        m = (idx >= lo) & (idx < hi)
+        return jnp.where(m.reshape((-1,) + (1,) * (buf.ndim - 1)), rolled, buf)
+
+    poses = shift_rows(poses, k, n - 1)
+    intrinsics = shift_rows(intrinsics, k, n - 1)
+    patch_xy = shift_rows(patch_xy, k * M, (n - 1) * M)
+    depth = shift_rows(depth, k * M, (n - 1) * M)
+
+    def shift_ring(buf, slots, rows_per_slot):
+        rolled = jnp.roll(buf, -rows_per_slot, axis=0)
+        sl = jnp.arange(buf.shape[0]) // rows_per_slot
+        affected = ((sl - (k % slots)) % slots) < jnp.minimum(n - 1 - k, slots)
+        return jnp.where(affected.reshape((-1,) + (1,) * (buf.ndim - 1)),
+                         rolled, buf)
+
+    imap_buf = shift_ring(imap_buf, pmem, M)
+    gmap_buf = shift_ring(gmap_buf, pmem, M)
+    fmap1_buf = shift_ring(fmap1_buf, mem, 1)
+    fmap2_buf = shift_ring(fmap2_buf, mem, 1)
+    return (poses, patch_xy, depth, intrinsics, imap_buf, gmap_buf,
+            fmap1_buf, fmap2_buf)
+
+
+@partial(jax.jit,
+         static_argnames=('W', 'PC', 'iterations', 'run_ba', 'do_update',
+                          'mixed_precision', 'M', 'pmem', 'mem',
+                          'use_pallas_corr'),
+         donate_argnames=('poses', 'patch_xy', 'depth', 'intrinsics',
+                          'imap_buf', 'gmap_buf', 'fmap1_buf', 'fmap2_buf',
+                          'net', 'target_buf', 'weight_buf'))
+def frame_step(params, poses, patch_xy, depth, intrinsics,
+               imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
+               net, target_buf, weight_buf,
+               image, coords, edge_table, mask, edge_perm,
+               pose_init, intr_row, depth_init,
+               n, imap_slot, fmap_slot, t0, patch_base, kf_k,
+               *, W, PC, iterations=2, run_ba=True, do_update=True,
+               mixed_precision=True, M, pmem, mem, use_pallas_corr=True):
+    """ONE dispatch per tracked frame (tunnel-latency optimization).
+
+    Fuses, in order: (a) the previous frame's keyframe-removal buffer shift
+    (kf_k >= 0), (b) edge-buffer compaction by edge_perm, (c) patchify +
+    frame store at slot n, (d) reprojection + correlation + recurrent update
+    + windowed BA over the padded edge table.
+
+    Returns the updated big buffers (donated-in) plus small host mirrors:
+    pose window [t0, t0+W), depth window [patch_base, +PC), and delta.
+    """
+    # (a) deferred keyframe shift: at decision time frames [0, n+1) existed
+    # and [kf_k, n) shift down one (the host already decremented its n)
+    def do_shift(args):
+        return _shift_frames_impl(*args, kf_k, n + 1, M, pmem, mem)
+
+    def no_shift(args):
+        return args
+
+    (poses, patch_xy, depth, intrinsics, imap_buf, gmap_buf, fmap1_buf,
+     fmap2_buf) = jax.lax.cond(
+        kf_k >= 0, do_shift, no_shift,
+        (poses, patch_xy, depth, intrinsics, imap_buf, gmap_buf,
+         fmap1_buf, fmap2_buf))
+
+    # (b) edge-state compaction / append padding
+    net = _gather_rows_impl(net, edge_perm)
+    target_buf = _gather_rows_impl(target_buf, edge_perm)
+    weight_buf = _gather_rows_impl(weight_buf, edge_perm)
+
+    # (c) patchify + store
+    img = 2.0 * (image.astype(jnp.float32) / 255.0) - 0.5
+    feats = patchify_frame(params, img, coords,
+                           mixed_precision=mixed_precision)
+    poses = jax.lax.dynamic_update_slice(poses, pose_init[None], (n, 0))
+    intrinsics = jax.lax.dynamic_update_slice(intrinsics, intr_row[None],
+                                              (n, 0))
+    patch_xy = jax.lax.dynamic_update_slice(
+        patch_xy, feats['patch_xy'], (n * M, 0, 0, 0))
+    depth = jax.lax.dynamic_update_slice(depth, depth_init, (n * M,))
+    imap_buf = jax.lax.dynamic_update_slice(
+        imap_buf, feats['imap'].astype(imap_buf.dtype), (imap_slot * M, 0))
+    gmap_buf = jax.lax.dynamic_update_slice(
+        gmap_buf, feats['gmap'].astype(gmap_buf.dtype),
+        (imap_slot * M, 0, 0, 0))
+    fmap1_buf = jax.lax.dynamic_update_slice(
+        fmap1_buf, feats['fmap1'][None].astype(fmap1_buf.dtype),
+        (fmap_slot, 0, 0, 0))
+    fmap2_buf = jax.lax.dynamic_update_slice(
+        fmap2_buf, feats['fmap2'][None].astype(fmap2_buf.dtype),
+        (fmap_slot, 0, 0, 0))
+
+    # (d) update + BA
+    delta = jnp.zeros((edge_table.shape[1], 2), jnp.float32)
+    if do_update:
+        ii, jj, kk, kk_slot, jj_slot, ix, jx, kk_ids, pair_ids = edge_table
+        coords_r = _reproject(poses, patch_xy, depth, intrinsics, ii, jj, kk)
+
+        if use_pallas_corr:
+            from ..ops.corr_pallas import corr_pallas
+            c1 = corr_pallas(gmap_buf, fmap1_buf, coords_r, kk_slot, jj_slot)
+            c2 = corr_pallas(gmap_buf, fmap2_buf, coords_r / 4.0, kk_slot,
+                             jj_slot)
+        else:
+            c1 = corr_op(gmap_buf, fmap1_buf, coords_r, kk_slot, jj_slot,
+                         radius=3)
+            c2 = corr_op(gmap_buf, fmap2_buf, coords_r / 4.0, kk_slot,
+                         jj_slot, radius=3)
+        corr_feat = jnp.stack([c1, c2], axis=-1).reshape(
+            coords_r.shape[0], -1)
+
+        inp = imap_buf[kk_slot]
+        E = ii.shape[0]
+        net, delta, weight = update_op(
+            params, net, inp, corr_feat, ix, jx, kk_ids, pair_ids,
+            num_segments=E, edge_mask=mask, mixed_precision=mixed_precision)
+
+        center = coords_r[:, P // 2, P // 2, :]
+        target_buf = center + delta
+        weight_buf = jnp.where(mask[:, None], weight, 0.0)
+
+        if run_ba:
+            xy_center = patch_xy[:, :, P // 2, P // 2]
+            poses, depth = ba_mod.bundle_adjust(
+                poses, xy_center, depth, intrinsics[0], target_buf,
+                weight_buf, 1e-4, ii, jj, kk, mask, t0, n, patch_base,
+                W=W, PC=PC, iterations=iterations)
+
+    # small host mirrors
+    pose_win = jax.lax.dynamic_slice(poses, (t0, 0), (W + 2, 7))
+    depth_win = jax.lax.dynamic_slice(depth, (patch_base,), (PC,))
+
+    return (poses, patch_xy, depth, intrinsics, imap_buf, gmap_buf,
+            fmap1_buf, fmap2_buf, net, target_buf, weight_buf,
+            pose_win, depth_win, delta, feats['clr'])

@@ -8,8 +8,9 @@ from dpvo_tpu import ba, lie
 RNG = np.random.RandomState(3)
 
 
-def make_problem(n_frames=8, M=6, noise=0.05):
+def make_problem(n_frames=8, M=6, noise=0.05, seed=3):
     """Synthetic forward-moving camera viewing random 3D points."""
+    RNG = np.random.RandomState(seed)  # local: order-independent tests
     intr = np.array([120.0, 120.0, 80.0, 60.0], np.float32)
 
     # ground-truth world->camera poses along a gentle trajectory
