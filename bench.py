@@ -33,6 +33,8 @@ def main():
     ap.add_argument('--config', default='config/default.yaml')
     ap.add_argument('--profile', action='store_true')
     ap.add_argument('--network', default=None)
+    ap.add_argument('--no-keyframe-removal', action='store_true',
+                    help='disable keyframe removal: worst-case edge load')
     args = ap.parse_args()
 
     import jax
@@ -50,6 +52,8 @@ def main():
     # random weights won't trip the learned motion probe; force the
     # initialization path so the benchmark reaches the steady-state workload
     slam.motion_probe = lambda: 100.0
+    if args.no_keyframe_removal:
+        slam.motionmag = lambda i, j: 100.0
 
     t_frame = []
     prof_ctx = None

@@ -122,6 +122,133 @@ def _corr_raw(gmap_g, fmap, jslot, y0, x0, off, interpret=False):
     )(jslot, y0, x0, off, gmap_g, fmap)
 
 
+CHUNK = 128       # edges per program in the grouped kernel
+
+
+def _corr_group_kernel(fslot_ref, ys_ref, xb_ref, gmap_ref, fmap_ref,
+                       out_ref):
+    """Grouped variant: the whole target feature frame is VMEM-resident
+    (Pallas re-uses the block when consecutive chunks hit the same frame),
+    so per-edge work is pure VMEM reads + VPU reduce — no per-edge DMA.
+
+    fslot_ref: (n_chunks,) frame slot per chunk (scalar prefetch)
+    ys/xb_ref: (Epad*P2*2 packed) per-pixel window starts (ys free,
+               xb 8-aligned) and x offsets
+    gmap_ref:  (CHUNK, P2, C) source patches for this chunk
+    fmap_ref:  (1, H, W, C) the target frame (block)
+    out_ref:   (CHUNK, P2, D, D) raw taps
+    """
+    c = pl.program_id(0)
+
+    def edge_body(le, _):
+        base = (c * CHUNK + le) * P2
+        for p in range(P2):
+            # per-pixel exact window: ys/xb are clipped into the image, and
+            # oy/ox are SIGNED offsets of the true tap origin; valid taps
+            # never wrap under the modular rolls (proof: tap in-image =>
+            # window index in range), wrapped entries are masked by the
+            # caller from true tap coords
+            ys = ys_ref[3 * (base + p)]
+            oy = ys_ref[3 * (base + p) + 1]
+            ox = ys_ref[3 * (base + p) + 2]
+            xb = pl.multiple_of(xb_ref[base + p], 8)
+            win = fmap_ref[0, pl.ds(ys, D), pl.ds(xb, 2 * D), :]  # (8,16,C)
+            g = gmap_ref[le, p].astype(jnp.float32)
+            plane = jnp.sum(win.astype(jnp.float32) * g, axis=-1)  # (8,16)
+            rolled = pltpu.roll(pltpu.roll(plane, -oy, axis=0), -ox, axis=1)
+            out_ref[le, p] = rolled[:, :D]
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK, edge_body, 0)
+
+
+@partial(jax.jit, static_argnames=('interpret',))
+def _corr_raw_grouped(gmap_g, fmap, fslot, ysox, xb, interpret=False):
+    """gmap_g (Epad, P2, C); fmap (F, H, W, C); fslot (n_chunks,);
+    ysox (Epad*P2*2,) packed [ys, ox]; xb (Epad*P2,).
+    Requires jj constant within each CHUNK (host groups + pads)."""
+    Epad = gmap_g.shape[0]
+    C = gmap_g.shape[-1]
+    H, W = fmap.shape[1], fmap.shape[2]
+    n_chunks = Epad // CHUNK
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((CHUNK, P2, C), lambda c, *_: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W, C), lambda c, fslot, *_: (fslot[c], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((CHUNK, P2, D, D), lambda c, *_: (c, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    return pl.pallas_call(
+        _corr_group_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Epad, P2, D, D), jnp.float32),
+        interpret=interpret,
+    )(fslot, ysox, xb, gmap_g, fmap)
+
+
+def corr_pallas_grouped(gmap, fmap, coords, kk_slot, jj_slot, radius=3,
+                        interpret=False):
+    """Grouped-by-target-frame correlation (fast path).
+
+    CONTRACT: edges are sorted by jj_slot and padded so each CHUNK-sized
+    block has a single target frame (the host edge table guarantees this).
+    Output layout identical to corr_pallas / ops.corr.corr.
+    """
+    assert radius == 3
+    E, Pp = coords.shape[0], coords.shape[1]
+    H, W = fmap.shape[1], fmap.shape[2]
+    C = fmap.shape[3]
+    if H < 2 * D or W < 2 * D or E % CHUNK != 0:
+        from .corr import corr as corr_xla
+        return corr_xla(gmap, fmap, coords, kk_slot, jj_slot, radius=radius)
+
+    cf = jnp.floor(coords)
+    fx = coords[..., 0] - cf[..., 0]
+    fy = coords[..., 1] - cf[..., 1]
+    xi = cf[..., 0].astype(jnp.int32)
+    yi = cf[..., 1].astype(jnp.int32)
+
+    ys = jnp.clip(yi - radius, 0, H - D)                      # (E, P, P)
+    oy = yi - radius - ys                                      # signed
+    xb = (jnp.clip(xi - radius, 0, W - 2 * D) // 8) * 8
+    ox = xi - radius - xb                                      # signed
+
+    ysox = jnp.stack([ys, oy, ox], axis=-1).reshape(E * Pp * Pp * 3)
+    gmap_g = gmap[kk_slot].reshape(E, P2, C)
+    fslot = jj_slot.reshape(-1, CHUNK)[:, 0].astype(jnp.int32)
+
+    raw = _corr_raw_grouped(gmap_g, fmap, fslot,
+                            ysox.astype(jnp.int32),
+                            xb.reshape(E * P2).astype(jnp.int32),
+                            interpret=interpret)
+    raw = raw.reshape(E, Pp, Pp, D, D)
+
+    dg = jnp.arange(D)
+    ty = yi[..., None] - radius + dg
+    tx = xi[..., None] - radius + dg
+    # in-image taps are exactly the ones the windows captured unwrapped;
+    # anything else (OOB or wrapped) is zero, matching the reference
+    valid = ((ty[..., :, None] >= 0) & (ty[..., :, None] < H) &
+             (tx[..., None, :] >= 0) & (tx[..., None, :] < W))
+    raw = jnp.where(valid, raw, 0.0)
+
+    fxb = fx[..., None, None]
+    fyb = fy[..., None, None]
+    d = D - 1
+    out = ((1 - fxb) * (1 - fyb) * raw[..., :d, :d] +
+           (fxb) * (1 - fyb) * raw[..., :d, 1:] +
+           (1 - fxb) * (fyb) * raw[..., 1:, :d] +
+           (fxb) * (fyb) * raw[..., 1:, 1:])
+    return out.transpose(0, 4, 3, 1, 2)
+
+
 def corr_pallas(gmap, fmap, coords, kk_slot, jj_slot, radius=3,
                 interpret=False):
     """Drop-in replacement for ops.corr.corr (same output layout).

@@ -103,9 +103,12 @@ class DPVO:
 
         # deferred device operations (fused into the next frame_step)
         self._pending_kf_k = -1
-        self._pending_perm = None
-        self._use_pallas = jax.default_backend() == 'tpu' or \
-            jax.default_backend() == 'axon'
+        self._host_to_dev = np.zeros(0, np.int32)  # edge -> device net row
+        self._use_pallas = jax.default_backend() in ('tpu', 'axon')
+        # grouped corr kernel needs the whole feature frame in VMEM
+        self._corr_mode = 'grouped' if (
+            self._use_pallas and (ht // 4) * (wd // 4) * 128 * 2 < 6_000_000
+        ) else ('pallas' if self._use_pallas else 'xla')
 
         self.n = 0           # frame count
         self.m = 0           # patch count
@@ -191,30 +194,73 @@ class DPVO:
         y = self.rng.randint(1, h4 - 1, M)
         return np.stack([x, y], axis=-1).astype(np.float32)
 
-    def _edge_table(self, ii, jj, kk, extra_probe=False):
+    def _edge_table(self, ii, jj, kk, grouped=False):
         """Pack the padded (9, E) int32 edge table + mask (host-side).
 
         Rows: ii, jj, kk, kk_slot, jj_slot, ix, jx, kk_ids, pair_ids.
         Replaces the reference's device-side torch.unique / fastba.neighbors
         round trips (net.py:80-88) with host precomputation.
+
+        grouped=True additionally pads each run of equal target ring slot to
+        a CHUNK multiple (contract of the grouped Pallas corr kernel) and
+        returns `pad_pos`, the padded position of every input edge. Dummy
+        rows copy a real edge of the same group (safe compute, mask False).
         """
+        from ..ops.corr_pallas import CHUNK
+
         E = len(ii)
-        cap = edge_bucket(E)
         M, pmem, mem = self.M, self.pmem, self.mem
+
+        if grouped and E > 0:
+            jsl = jj % mem
+            # group boundaries over the (already sorted) slot array
+            change = np.nonzero(np.diff(jsl))[0] + 1
+            starts = np.concatenate([[0], change])
+            ends = np.concatenate([change, [E]])
+            sizes = ends - starts
+            padded = -(-sizes // CHUNK) * CHUNK
+            offs = np.concatenate([[0], np.cumsum(padded)[:-1]])
+            Epad = int(padded.sum())
+            src_idx = np.zeros(Epad, np.int64)
+            pad_pos = np.zeros(E, np.int64)
+            mask_full = np.zeros(Epad, bool)
+            # dummies copy the first edge of their group (safe compute)
+            for s, e0, o, pz in zip(starts, ends, offs, padded):
+                g = e0 - s
+                src_idx[o:o + g] = np.arange(s, e0)
+                src_idx[o + g:o + pz] = s
+                mask_full[o:o + g] = True
+                pad_pos[s:e0] = np.arange(o, o + g)
+            ii = ii[src_idx]
+            jj = jj[src_idx]
+            kk = kk[src_idx]
+            E_real_mask = mask_full
+            E = Epad
+        else:
+            pad_pos = np.arange(E, dtype=np.int64)
+            E_real_mask = np.ones(E, bool)
+
+        cap = edge_bucket(max(E, 1))
+        if grouped:
+            cap = max(cap, CHUNK)
+            cap = -(-cap // CHUNK) * CHUNK
 
         tab = np.zeros((9, cap), np.int32)
         mask = np.zeros(cap, bool)
-        mask[:E] = True
+        mask[:E] = E_real_mask
 
         kk_frame = kk // M
         kk_slot = (kk_frame % pmem) * M + kk % M
         jj_slot = jj % mem
 
-        # temporal neighbors: same patch, adjacent jj (stable by insertion)
+        # temporal neighbors: same patch, adjacent jj (stable by insertion
+        # order of REAL edges; dummies excluded)
         ix = np.full(E, -1, np.int64)
         jx = np.full(E, -1, np.int64)
-        if E > 0:
-            order = np.lexsort((np.arange(E), jj, kk))
+        real = np.nonzero(E_real_mask)[0]
+        if len(real) > 0:
+            kr, jr = kk[real], jj[real]
+            order = real[np.lexsort((np.arange(len(real)), jr, kr))]
             sk = kk[order]
             same = sk[1:] == sk[:-1]
             ix[order[1:][same]] = order[:-1][same]
@@ -235,7 +281,7 @@ class DPVO:
         tab[6, E:] = -1
         tab[7, :E] = kk_ids
         tab[8, :E] = pair_ids
-        return jnp.asarray(tab), jnp.asarray(mask), cap
+        return jnp.asarray(tab), jnp.asarray(mask), cap, pad_pos
 
     # ------------------------------------------------------------------ #
     # edge lifecycle (reference dpvo.py:215-238, 362-375)
@@ -246,13 +292,11 @@ class DPVO:
         fused gather — appended slots map to perm index -1."""
         kk_new = np.asarray(kk_new, np.int32)
         jj_new = np.asarray(jj_new, np.int32)
-        if self._pending_perm is None:
-            self._pending_perm = np.arange(len(self.ii), dtype=np.int32)
         self.kk = np.concatenate([self.kk, kk_new])
         self.jj = np.concatenate([self.jj, jj_new])
         self.ii = np.concatenate([self.ii, (kk_new // self.M)])
-        self._pending_perm = np.concatenate(
-            [self._pending_perm, np.full(len(kk_new), -1, np.int32)])
+        self._host_to_dev = np.concatenate(
+            [self._host_to_dev, np.full(len(kk_new), -1, np.int32)])
 
     def remove_factors(self, m, store):
         """m: bool mask over active edges to drop (True = remove).
@@ -273,24 +317,20 @@ class DPVO:
             self.kk_inac = np.concatenate([self.kk_inac, self.kk[m]])
             self.targ_inac = np.concatenate([self.targ_inac, tw])
             self.w_inac = np.concatenate([self.w_inac, ww])
-        keep_idx = np.nonzero(~m)[0].astype(np.int32)
-        if self._pending_perm is None:
-            self._pending_perm = keep_idx
-        else:
-            self._pending_perm = self._pending_perm[keep_idx]
+        self._host_to_dev = self._host_to_dev[~m]
         self.ii = self.ii[~m]
         self.jj = self.jj[~m]
         self.kk = self.kk[~m]
 
-    def _edge_perm(self, cap):
-        """The pending device-row permutation padded to capacity `cap`."""
-        idx = np.full(cap, -1, np.int32)
-        if self._pending_perm is not None:
-            idx[:len(self._pending_perm)] = self._pending_perm
-        else:
-            k = min(cap, self._ecap, len(self.ii))
-            idx[:k] = np.arange(k)
-        return idx
+    def _sort_edges(self):
+        """Canonical edge order: sorted by target ring slot (stable). The
+        grouped corr kernel requires same-target edges to be contiguous."""
+        order = np.argsort(self.jj % self.mem, kind='stable').astype(np.int32)
+        if len(order) and not np.array_equal(order, np.arange(len(order))):
+            self.ii = self.ii[order]
+            self.jj = self.jj[order]
+            self.kk = self.kk[order]
+            self._host_to_dev = self._host_to_dev[order]
 
     def _flush_pending(self):
         """Apply deferred keyframe shift + edge compaction immediately."""
@@ -304,14 +344,18 @@ class DPVO:
                              jnp.int32(self.n + 1),
                              M=self.M, pmem=self.pmem, mem=self.mem)
             self._pending_kf_k = -1
-        cap = edge_bucket(max(len(self.ii), 1))
-        if self._pending_perm is not None or cap != self._ecap:
-            idx_dev = jnp.asarray(self._edge_perm(cap))
+        E = len(self.ii)
+        cap = edge_bucket(max(E, 1))
+        ident = np.arange(E, dtype=np.int32)
+        if cap != self._ecap or not np.array_equal(self._host_to_dev, ident):
+            idx = np.full(cap, -1, np.int32)
+            idx[:E] = self._host_to_dev
+            idx_dev = jnp.asarray(idx)
             self.net_dev = gather_rows(self.net_dev, idx_dev)
             self.target_dev = gather_rows(self.target_dev, idx_dev)
             self.weight_dev = gather_rows(self.weight_dev, idx_dev)
             self._ecap = cap
-            self._pending_perm = None
+            self._host_to_dev = ident
 
     def __edges_forw(self):
         r = self.cfg.PATCH_LIFETIME
@@ -338,7 +382,7 @@ class DPVO:
         """Standalone update+BA dispatch (bootstrap / terminate path; the
         steady-state per-frame path runs fused inside frame_step)."""
         self._flush_pending()
-        tab, mask, cap = self._edge_table(self.ii, self.jj, self.kk)
+        tab, mask, cap, _ = self._edge_table(self.ii, self.jj, self.kk)
 
         # long-range edges trigger global BA (reference dpvo.py:345-354)
         use_global = (run_ba and
@@ -360,7 +404,7 @@ class DPVO:
             W=self.W_CAP, PC=self.PC_CAP, iterations=2,
             run_ba=run_ba and not use_global,
             mixed_precision=self.cfg.MIXED_PRECISION,
-            use_pallas_corr=self._use_pallas)
+            corr_mode='pallas' if self._use_pallas else 'xla')
 
         if use_global:
             self._run_global_ba()
@@ -428,7 +472,7 @@ class DPVO:
         """Median update-magnitude on probe edges (reference dpvo.py:240-255)."""
         kk = np.arange(self.m - self.M, self.m, dtype=np.int32)
         jj = np.full_like(kk, self.n)
-        tab, mask, cap = self._edge_table(kk // self.M, jj, kk)
+        tab, mask, cap, _ = self._edge_table(kk // self.M, jj, kk)
         net = jnp.zeros((cap, DIM), self.net_dev.dtype)
         out = update_step(
             self.params, self.poses_dev, self.patch_xy, self.depth_dev,
@@ -437,7 +481,7 @@ class DPVO:
             jnp.int32(1), jnp.int32(self.n), jnp.int32(0),
             W=self.W_CAP, PC=self.PC_CAP, iterations=2, run_ba=False,
             mixed_precision=self.cfg.MIXED_PRECISION,
-            use_pallas_corr=self._use_pallas)
+            corr_mode='pallas' if self._use_pallas else 'xla')
         _, self.poses_dev, self.depth_dev, _, _, delta = out
         return float(probe_median_delta(delta, mask))
 
@@ -614,14 +658,20 @@ class DPVO:
     def _fused_step(self, image_dev, coords, pose_init, depth_init, ns,
                     do_update, run_ba):
         """One frame_step dispatch; updates device buffers + host mirrors."""
+        grouped = self._corr_mode == 'grouped'
         if do_update:
-            tab, mask, cap = self._edge_table(self.ii, self.jj, self.kk)
+            self._sort_edges()
+            tab, mask, cap, pad_pos = self._edge_table(
+                self.ii, self.jj, self.kk, grouped=grouped)
         else:
             cap = edge_bucket(max(len(self.ii), 1))
             tab = jnp.zeros((9, cap), jnp.int32)
             mask = jnp.zeros((cap,), bool)
+            pad_pos = np.arange(len(self.ii))
 
-        perm = jnp.asarray(self._edge_perm(cap))
+        perm_np = np.full(cap, -1, np.int32)
+        perm_np[pad_pos] = self._host_to_dev
+        perm = jnp.asarray(perm_np)
 
         if self.is_initialized:
             t0 = max(self.n - self.cfg.OPTIMIZATION_WINDOW, 1)
@@ -645,10 +695,10 @@ class DPVO:
             W=self.W_CAP, PC=self.PC_CAP, iterations=2, run_ba=run_ba,
             do_update=do_update, mixed_precision=self.cfg.MIXED_PRECISION,
             M=self.M, pmem=self.pmem, mem=self.mem,
-            use_pallas_corr=self._use_pallas)
+            corr_mode=self._corr_mode)
 
         self._pending_kf_k = -1
-        self._pending_perm = None
+        self._host_to_dev = pad_pos.astype(np.int32)
         self._ecap = cap
 
         if do_update and run_ba:

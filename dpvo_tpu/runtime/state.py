@@ -112,13 +112,13 @@ def _reproject(poses, patch_xy, depth, intrinsics, ii, jj, kk):
 
 @partial(jax.jit,
          static_argnames=('W', 'PC', 'iterations', 'run_ba',
-                          'mixed_precision', 'use_pallas_corr'),
+                          'mixed_precision', 'corr_mode'),
          donate_argnames=('poses', 'depth', 'net'))
 def update_step(params, poses, patch_xy, depth, intrinsics,
                 imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
                 net, edge_table, mask, t0, t1, patch_base,
                 *, W, PC, iterations=2, run_ba=True, mixed_precision=True,
-                use_pallas_corr=True):
+                corr_mode='pallas'):
     """One tracking/BA iteration over the (padded) active edge table.
 
     edge_table: (9, E) int32 rows [ii, jj, kk, kk_slot, jj_slot, ix, jx,
@@ -130,7 +130,7 @@ def update_step(params, poses, patch_xy, depth, intrinsics,
     coords = _reproject(poses, patch_xy, depth, intrinsics, ii, jj, kk)
 
     gmap_flat = gmap_buf                                  # (pmem*M, P, P, 128)
-    if use_pallas_corr:
+    if corr_mode == 'pallas':
         from ..ops.corr_pallas import corr_pallas
         c1 = corr_pallas(gmap_flat, fmap1_buf, coords, kk_slot, jj_slot)
         c2 = corr_pallas(gmap_flat, fmap2_buf, coords / 4.0, kk_slot, jj_slot)
@@ -254,8 +254,7 @@ def _shift_frames_impl(poses, patch_xy, depth, intrinsics, imap_buf, gmap_buf,
 
 @partial(jax.jit,
          static_argnames=('W', 'PC', 'iterations', 'run_ba', 'do_update',
-                          'mixed_precision', 'M', 'pmem', 'mem',
-                          'use_pallas_corr'),
+                          'mixed_precision', 'M', 'pmem', 'mem', 'corr_mode'),
          donate_argnames=('poses', 'patch_xy', 'depth', 'intrinsics',
                           'imap_buf', 'gmap_buf', 'fmap1_buf', 'fmap2_buf',
                           'net', 'target_buf', 'weight_buf'))
@@ -266,7 +265,7 @@ def frame_step(params, poses, patch_xy, depth, intrinsics,
                pose_init, intr_row, depth_init,
                n, imap_slot, fmap_slot, t0, patch_base, kf_k,
                *, W, PC, iterations=2, run_ba=True, do_update=True,
-               mixed_precision=True, M, pmem, mem, use_pallas_corr=True):
+               mixed_precision=True, M, pmem, mem, corr_mode='grouped'):
     """ONE dispatch per tracked frame (tunnel-latency optimization).
 
     Fuses, in order: (a) the previous frame's keyframe-removal buffer shift
@@ -324,7 +323,13 @@ def frame_step(params, poses, patch_xy, depth, intrinsics,
         ii, jj, kk, kk_slot, jj_slot, ix, jx, kk_ids, pair_ids = edge_table
         coords_r = _reproject(poses, patch_xy, depth, intrinsics, ii, jj, kk)
 
-        if use_pallas_corr:
+        if corr_mode == 'grouped':
+            from ..ops.corr_pallas import corr_pallas_grouped
+            c1 = corr_pallas_grouped(gmap_buf, fmap1_buf, coords_r, kk_slot,
+                                     jj_slot)
+            c2 = corr_pallas_grouped(gmap_buf, fmap2_buf, coords_r / 4.0,
+                                     kk_slot, jj_slot)
+        elif corr_mode == 'pallas':
             from ..ops.corr_pallas import corr_pallas
             c1 = corr_pallas(gmap_buf, fmap1_buf, coords_r, kk_slot, jj_slot)
             c2 = corr_pallas(gmap_buf, fmap2_buf, coords_r / 4.0, kk_slot,
