@@ -556,13 +556,72 @@ class _LieGroup:
             data = data.at[..., 4].set(1.0)
         return cls(data)
 
+    @classmethod
+    def IdentityLike(cls, other):
+        return cls.Identity(*other.shape)
+
+    @classmethod
+    def Random(cls, *shape, sigma=1.0, key=None):
+        """Random group elements (reference groups.py Random)."""
+        import numpy as _np
+        dof = {4: 3, 5: 4, 7: 6, 8: 7}[cls.embedded_dim]
+        rng = _np.random if key is None else _np.random.RandomState(key)
+        xi = jnp.asarray(rng.randn(*shape, dof) * sigma, jnp.float32)
+        return cls.exp(xi)
+
+    def vec(self):
+        return self.data
+
+    def translation(self):
+        """Homogeneous translation [t, 1] (reference groups.py:214-218)."""
+        t = self.data[..., :3]
+        return jnp.concatenate([t, jnp.ones_like(t[..., :1])], axis=-1)
+
+    def adj(self, xi):
+        fn = self._fns.get('adj')
+        if fn is None:
+            # generic: Ad_X xi = d/deps log(X exp(eps xi) X^-1)
+            return jax.jvp(
+                lambda e: self._fns['log'](self._fns['mul'](
+                    self._fns['mul'](self.data, self._fns['exp'](e)),
+                    self._fns['inv'](self.data))),
+                (jnp.zeros_like(xi),), (xi,))[1]
+        return fn(self.data, xi)
+
+    def Jinv(self, tau):
+        """Inverse left Jacobian applied to tau: J_l^{-1}(Log X) tau."""
+        def f(e):
+            return self._fns['log'](
+                self._fns['mul'](self._fns['exp'](e), self.data))
+        # d log(exp(e) X)/de at 0 equals J_l^{-1}(Log X)
+        return jax.jvp(f, (jnp.zeros_like(tau),), (tau,))[1]
+
+    def detach(self):
+        return type(self)(jax.lax.stop_gradient(self.data))
+
+
+def stack(groups, dim=0):
+    """lietorch.stack equivalent."""
+    cls = type(groups[0])
+    return cls(jnp.stack([g.data for g in groups], axis=dim))
+
 
 @jax.tree_util.register_pytree_node_class
 class SO3(_LieGroup):
     embedded_dim = 4
     _fns = dict(exp=so3_exp, log=so3_log, inv=so3_inv, mul=so3_mul,
                 act=so3_act, act4=None, retr=lambda d, xi: so3_mul(so3_exp(xi), d),
-                matrix=quat_to_matrix, adjT=so3_adjT)
+                matrix=quat_to_matrix, adjT=so3_adjT, adj=so3_adj)
+
+
+@jax.tree_util.register_pytree_node_class
+class RxSO3(_LieGroup):
+    embedded_dim = 5
+    _fns = dict(exp=rxso3_exp, log=rxso3_log, inv=rxso3_inv, mul=rxso3_mul,
+                act=rxso3_act, act4=None,
+                retr=lambda d, xi: rxso3_mul(rxso3_exp(xi), d),
+                matrix=lambda d: quat_to_matrix(d[..., :4]) * d[..., 4, None, None],
+                adjT=None)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -570,7 +629,7 @@ class SE3(_LieGroup):
     embedded_dim = 7
     _fns = dict(exp=se3_exp, log=se3_log, inv=se3_inv, mul=se3_mul,
                 act=se3_act, act4=se3_act4, retr=se3_retr,
-                matrix=se3_matrix, adjT=se3_adjT)
+                matrix=se3_matrix, adjT=se3_adjT, adj=se3_adj)
 
     def scale(self, s):
         return SE3(se3_scale(self.data, s))

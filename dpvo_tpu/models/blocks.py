@@ -63,6 +63,49 @@ def soft_agg(params, prefix, x, ids, num_segments, mask=None):
 
 
 # ---------------------------------------------------------------------------
+# gradient clamps (reference dpvo/blocks.py:70-107) — identity forward,
+# clipped/zeroed backward; used on the update heads during training
+# ---------------------------------------------------------------------------
+
+GRAD_CLIP = 0.1
+
+
+@jax.custom_vjp
+def grad_clip(x):
+    return x
+
+
+def _gc_fwd(x):
+    return x, None
+
+
+def _gc_bwd(_, g):
+    g = jnp.where(jnp.isnan(g), 0.0, g)
+    return (jnp.clip(g, -0.01, 0.01),)
+
+
+grad_clip.defvjp(_gc_fwd, _gc_bwd)
+
+
+@jax.custom_vjp
+def grad_zero(x):
+    return x
+
+
+def _gz_fwd(x):
+    return x, None
+
+
+def _gz_bwd(_, g):
+    g = jnp.where(jnp.isnan(g), 0.0, g)
+    g = jnp.where(jnp.abs(g) > GRAD_CLIP, 0.0, g)
+    return (g,)
+
+
+grad_zero.defvjp(_gz_fwd, _gz_bwd)
+
+
+# ---------------------------------------------------------------------------
 # initialization helpers (torch nn.Linear default init)
 # ---------------------------------------------------------------------------
 

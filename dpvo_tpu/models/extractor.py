@@ -85,6 +85,25 @@ def basic_encoder4(params, prefix, x, norm_fn):
     return x
 
 
+def basic_encoder(params, prefix, x, norm_fn):
+    """Stride-8 BasicEncoder (reference extractor.py:117-197 — defined by the
+    reference but unused by VONet; provided for parity).
+
+    x: (N, H, W, 3) -> (N, H/8, W/8, output_dim)."""
+    x = conv2d(params, prefix + '.conv1', x, stride=2)
+    if norm_fn == 'instance':
+        x = instance_norm(x)
+    x = jax.nn.relu(x)
+    x = _residual_block(params, prefix + '.layer1.0', x, norm_fn, 1)
+    x = _residual_block(params, prefix + '.layer1.1', x, norm_fn, 1)
+    x = _residual_block(params, prefix + '.layer2.0', x, norm_fn, 2)
+    x = _residual_block(params, prefix + '.layer2.1', x, norm_fn, 1)
+    x = _residual_block(params, prefix + '.layer3.0', x, norm_fn, 2)
+    x = _residual_block(params, prefix + '.layer3.1', x, norm_fn, 1)
+    x = conv2d(params, prefix + '.conv2', x, stride=1)
+    return x
+
+
 # ---------------------------------------------------------------------------
 # initialization (kaiming-normal convs, reference extractor.py:233-240)
 # ---------------------------------------------------------------------------

@@ -156,9 +156,12 @@ def update_op(params, net, inp, corr_feat, ix, jx, kk_ids, pair_ids,
     net = layer_norm(p, 'update.gru.2', net)
     net = gated_residual(p, 'update.gru.3', net)
 
-    delta = linear(p, 'update.d.1', jax.nn.relu(net)).astype(jnp.float32)
-    weight = jax.nn.sigmoid(
-        linear(p, 'update.w.1', jax.nn.relu(net)).astype(jnp.float32))
+    from .blocks import grad_clip
+    # heads carry the reference's backward gradient clamp (blocks.py:74-89)
+    delta = grad_clip(
+        linear(p, 'update.d.1', jax.nn.relu(net)).astype(jnp.float32))
+    weight = jax.nn.sigmoid(grad_clip(
+        linear(p, 'update.w.1', jax.nn.relu(net)).astype(jnp.float32)))
 
     return net, delta, weight
 

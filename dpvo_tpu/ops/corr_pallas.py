@@ -125,8 +125,8 @@ def _corr_raw(gmap_g, fmap, jslot, y0, x0, off, interpret=False):
 CHUNK = 128       # edges per program in the grouped kernel
 
 
-def _corr_group_kernel(fslot_ref, ys_ref, xb_ref, gmap_ref, fmap_ref,
-                       out_ref):
+def _corr_group_kernel(fslot_ref, ysox_ref, xb_ref, gmap_ref, fmap_ref,
+                       out_ref, plane_ref):
     """Grouped variant: the whole target feature frame is VMEM-resident
     (Pallas re-uses the block when consecutive chunks hit the same frame),
     so per-edge work is pure VMEM reads + VPU reduce — no per-edge DMA.
@@ -141,22 +141,27 @@ def _corr_group_kernel(fslot_ref, ys_ref, xb_ref, gmap_ref, fmap_ref,
     c = pl.program_id(0)
 
     def edge_body(le, _):
-        base = (c * CHUNK + le) * P2
         for p in range(P2):
             # per-pixel exact window: ys/xb are clipped into the image, and
             # oy/ox are SIGNED offsets of the true tap origin; valid taps
             # never wrap under the modular rolls (proof: tap in-image =>
             # window index in range), wrapped entries are masked by the
             # caller from true tap coords
-            ys = ys_ref[3 * (base + p)]
-            oy = ys_ref[3 * (base + p) + 1]
-            ox = ys_ref[3 * (base + p) + 2]
-            xb = pl.multiple_of(xb_ref[base + p], 8)
+            ys = ysox_ref[le, 3 * p]
+            oy = ysox_ref[le, 3 * p + 1]
+            ox = ysox_ref[le, 3 * p + 2]
+            xb = pl.multiple_of(xb_ref[le, p], 8)
             win = fmap_ref[0, pl.ds(ys, D), pl.ds(xb, 2 * D), :]  # (8,16,C)
             g = gmap_ref[le, p].astype(jnp.float32)
             plane = jnp.sum(win.astype(jnp.float32) * g, axis=-1)  # (8,16)
-            rolled = pltpu.roll(pltpu.roll(plane, -oy, axis=0), -ox, axis=1)
-            out_ref[le, p] = rolled[:, :D]
+            # Mosaic dynamic_rotate needs 128-lane-aligned vectors: stage the
+            # plane through a padded scratch, then roll both axes
+            plane_ref[:, 0:2 * D] = plane
+            s = plane_ref[...]                                     # (8,128)
+            rolled = pltpu.roll(pltpu.roll(s, -oy, axis=0), -ox, axis=1)
+            # packed output (D, P2*D): an (8,8) lane-padded block per pixel
+            # would blow the VMEM budget 16x
+            out_ref[le, :, p * D:(p + 1) * D] = rolled[:, :D]
         return 0
 
     jax.lax.fori_loop(0, CHUNK, edge_body, 0)
@@ -165,7 +170,7 @@ def _corr_group_kernel(fslot_ref, ys_ref, xb_ref, gmap_ref, fmap_ref,
 @partial(jax.jit, static_argnames=('interpret',))
 def _corr_raw_grouped(gmap_g, fmap, fslot, ysox, xb, interpret=False):
     """gmap_g (Epad, P2, C); fmap (F, H, W, C); fslot (n_chunks,);
-    ysox (Epad*P2*2,) packed [ys, ox]; xb (Epad*P2,).
+    ysox (Epad, 3*P2) packed [ys, oy, ox]; xb (Epad, P2).
     Requires jj constant within each CHUNK (host groups + pads)."""
     Epad = gmap_g.shape[0]
     C = gmap_g.shape[-1]
@@ -173,24 +178,31 @@ def _corr_raw_grouped(gmap_g, fmap, fslot, ysox, xb, interpret=False):
     n_chunks = Epad // CHUNK
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,       # only the tiny chunk->frame-slot map
         grid=(n_chunks,),
         in_specs=[
+            pl.BlockSpec((CHUNK, 3 * P2), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, P2), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((CHUNK, P2, C), lambda c, *_: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W, C), lambda c, fslot, *_: (fslot[c], 0, 0, 0),
+            pl.BlockSpec((1, H, W, C), lambda c, fslot: (fslot[c], 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((CHUNK, P2, D, D), lambda c, *_: (c, 0, 0, 0),
+        out_specs=pl.BlockSpec((CHUNK, D, P2 * D), lambda c, *_: (c, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((D, 128), jnp.float32)],
     )
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _corr_group_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Epad, P2, D, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Epad, D, P2 * D), jnp.float32),
         interpret=interpret,
-    )(fslot, ysox, xb, gmap_g, fmap)
+    )(fslot, ysox.reshape(Epad, 3 * P2), xb.reshape(Epad, P2), gmap_g, fmap)
+    # (E, dy, p*D+dx) -> (E, P2, dy, dx)
+    return out.reshape(Epad, D, P2, D).transpose(0, 2, 1, 3)
 
 
 def corr_pallas_grouped(gmap, fmap, coords, kk_slot, jj_slot, radius=3,
@@ -220,13 +232,13 @@ def corr_pallas_grouped(gmap, fmap, coords, kk_slot, jj_slot, radius=3,
     xb = (jnp.clip(xi - radius, 0, W - 2 * D) // 8) * 8
     ox = xi - radius - xb                                      # signed
 
-    ysox = jnp.stack([ys, oy, ox], axis=-1).reshape(E * Pp * Pp * 3)
+    ysox = jnp.stack([ys, oy, ox], axis=-1).reshape(E, Pp * Pp * 3)
     gmap_g = gmap[kk_slot].reshape(E, P2, C)
     fslot = jj_slot.reshape(-1, CHUNK)[:, 0].astype(jnp.int32)
 
     raw = _corr_raw_grouped(gmap_g, fmap, fslot,
                             ysox.astype(jnp.int32),
-                            xb.reshape(E * P2).astype(jnp.int32),
+                            xb.reshape(E, P2).astype(jnp.int32),
                             interpret=interpret)
     raw = raw.reshape(E, Pp, Pp, D, D)
 

@@ -245,9 +245,9 @@ class DPVO:
             cap = max(cap, CHUNK)
             cap = -(-cap // CHUNK) * CHUNK
 
-        tab = np.zeros((9, cap), np.int32)
-        mask = np.zeros(cap, bool)
-        mask[:E] = E_real_mask
+        tab = np.zeros((11, cap), np.int32)
+        tab[9, :E] = E_real_mask        # row 9: mask
+        tab[10, :] = -1                 # row 10: device-row perm (caller fills)
 
         kk_frame = kk // M
         kk_slot = (kk_frame % pmem) * M + kk % M
@@ -266,9 +266,25 @@ class DPVO:
             ix[order[1:][same]] = order[:-1][same]
             jx[order[:-1][same]] = order[1:][same]
 
-        _, kk_ids = np.unique(kk, return_inverse=True)
-        _, pair_ids = np.unique(ii.astype(np.int64) * 12345 + jj,
-                                return_inverse=True)
+        # dense-enough group ids without np.unique: segment ids only need
+        # to be unique per group and < cap (segment ops size num_segments=cap)
+        if E > 0:
+            rk = kk - kk.min()
+            if rk.max() < cap:
+                kk_ids = rk
+            else:
+                _, kk_ids = np.unique(kk, return_inverse=True)
+            ri = ii - ii.min()
+            rj = jj - jj.min()
+            wj = int(rj.max()) + 1
+            if (int(ri.max()) + 1) * wj <= cap:
+                pair_ids = ri * wj + rj
+            else:
+                _, pair_ids = np.unique(ii.astype(np.int64) * 12345 + jj,
+                                        return_inverse=True)
+        else:
+            kk_ids = np.zeros(0, np.int64)
+            pair_ids = np.zeros(0, np.int64)
 
         tab[0, :E] = ii
         tab[1, :E] = jj
@@ -281,7 +297,7 @@ class DPVO:
         tab[6, E:] = -1
         tab[7, :E] = kk_ids
         tab[8, :E] = pair_ids
-        return jnp.asarray(tab), jnp.asarray(mask), cap, pad_pos
+        return tab, cap, pad_pos
 
     # ------------------------------------------------------------------ #
     # edge lifecycle (reference dpvo.py:215-238, 362-375)
@@ -382,7 +398,10 @@ class DPVO:
         """Standalone update+BA dispatch (bootstrap / terminate path; the
         steady-state per-frame path runs fused inside frame_step)."""
         self._flush_pending()
-        tab, mask, cap, _ = self._edge_table(self.ii, self.jj, self.kk)
+        tab_np, cap, _ = self._edge_table(self.ii, self.jj, self.kk)
+        tab_full = jnp.asarray(tab_np)
+        tab = tab_full[:9]
+        mask = tab_full[9].astype(bool)
 
         # long-range edges trigger global BA (reference dpvo.py:345-354)
         use_global = (run_ba and
@@ -472,7 +491,10 @@ class DPVO:
         """Median update-magnitude on probe edges (reference dpvo.py:240-255)."""
         kk = np.arange(self.m - self.M, self.m, dtype=np.int32)
         jj = np.full_like(kk, self.n)
-        tab, mask, cap, _ = self._edge_table(kk // self.M, jj, kk)
+        tab_np, cap, _ = self._edge_table(kk // self.M, jj, kk)
+        tab_full = jnp.asarray(tab_np)
+        tab = tab_full[:9]
+        mask = tab_full[9].astype(bool)
         net = jnp.zeros((cap, DIM), self.net_dev.dtype)
         out = update_step(
             self.params, self.poses_dev, self.patch_xy, self.depth_dev,
@@ -661,17 +683,16 @@ class DPVO:
         grouped = self._corr_mode == 'grouped'
         if do_update:
             self._sort_edges()
-            tab, mask, cap, pad_pos = self._edge_table(
+            tab, cap, pad_pos = self._edge_table(
                 self.ii, self.jj, self.kk, grouped=grouped)
         else:
             cap = edge_bucket(max(len(self.ii), 1))
-            tab = jnp.zeros((9, cap), jnp.int32)
-            mask = jnp.zeros((cap,), bool)
+            tab = np.zeros((11, cap), np.int32)
+            tab[10, :] = -1
             pad_pos = np.arange(len(self.ii))
 
-        perm_np = np.full(cap, -1, np.int32)
-        perm_np[pad_pos] = self._host_to_dev
-        perm = jnp.asarray(perm_np)
+        tab[10, pad_pos] = self._host_to_dev    # row 10: device-row perm
+        tab_dev = jnp.asarray(tab)               # ONE H2D for all edge data
 
         if self.is_initialized:
             t0 = max(self.n - self.cfg.OPTIMIZATION_WINDOW, 1)
@@ -686,7 +707,7 @@ class DPVO:
             self.params, self.poses_dev, self.patch_xy, self.depth_dev,
             self.intr_dev, self.imap_dev, self.gmap_dev, self.fmap1_dev,
             self.fmap2_dev, self.net_dev, self.target_dev, self.weight_dev,
-            image_dev, jnp.asarray(coords), tab, mask, perm,
+            image_dev, jnp.asarray(coords), tab_dev,
             jnp.asarray(pose_init), jnp.asarray(self.intr_np),
             jnp.asarray(depth_init),
             jnp.int32(ns), jnp.int32(ns % self.pmem), jnp.int32(ns % self.mem),

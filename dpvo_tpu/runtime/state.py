@@ -261,7 +261,7 @@ def _shift_frames_impl(poses, patch_xy, depth, intrinsics, imap_buf, gmap_buf,
 def frame_step(params, poses, patch_xy, depth, intrinsics,
                imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
                net, target_buf, weight_buf,
-               image, coords, edge_table, mask, edge_perm,
+               image, coords, edge_table,
                pose_init, intr_row, depth_init,
                n, imap_slot, fmap_slot, t0, patch_base, kf_k,
                *, W, PC, iterations=2, run_ba=True, do_update=True,
@@ -276,6 +276,9 @@ def frame_step(params, poses, patch_xy, depth, intrinsics,
     Returns the updated big buffers (donated-in) plus small host mirrors:
     pose window [t0, t0+W), depth window [patch_base, +PC), and delta.
     """
+    mask = edge_table[9].astype(bool)
+    edge_perm = edge_table[10]
+
     # (a) deferred keyframe shift: at decision time frames [0, n+1) existed
     # and [kf_k, n) shift down one (the host already decremented its n)
     def do_shift(args):
@@ -320,7 +323,8 @@ def frame_step(params, poses, patch_xy, depth, intrinsics,
     # (d) update + BA
     delta = jnp.zeros((edge_table.shape[1], 2), jnp.float32)
     if do_update:
-        ii, jj, kk, kk_slot, jj_slot, ix, jx, kk_ids, pair_ids = edge_table
+        (ii, jj, kk, kk_slot, jj_slot, ix, jx, kk_ids,
+         pair_ids) = edge_table[:9]
         coords_r = _reproject(poses, patch_xy, depth, intrinsics, ii, jj, kk)
 
         if corr_mode == 'grouped':

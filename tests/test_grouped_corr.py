@@ -47,10 +47,10 @@ def test_edge_table_grouping():
     kk = np.arange(len(jj), dtype=np.int32)
     ii = kk // slam.M
     slam.ii, slam.jj, slam.kk = ii.astype(np.int32), jj.astype(np.int32), kk
-    tab, mask, cap, pad_pos = slam._edge_table(slam.ii, slam.jj, slam.kk,
-                                               grouped=True)
+    tab, cap, pad_pos = slam._edge_table(slam.ii, slam.jj, slam.kk,
+                                         grouped=True)
     tab = np.asarray(tab)
-    mask = np.asarray(mask)
+    mask = tab[9].astype(bool)
     assert cap % CHUNK == 0
     # each chunk has a single jj_slot
     jsl = tab[4].reshape(-1, CHUNK)
