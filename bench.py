@@ -51,9 +51,12 @@ def main():
     slam = DPVO(cfg, args.network, ht=H, wd=W, seed=0)
     # random weights won't trip the learned motion probe; force the
     # initialization path so the benchmark reaches the steady-state workload
-    slam.motion_probe = lambda: 100.0
-    if args.no_keyframe_removal:
-        slam.motionmag = lambda i, j: 100.0
+    if hasattr(slam, '_static'):           # device-resident runtime
+        slam._static['force_accept'] = True
+    else:
+        slam.motion_probe = lambda: 100.0
+        if args.no_keyframe_removal:
+            slam.motionmag = lambda i, j: 100.0
 
     t_frame = []
     prof_ctx = None
@@ -63,7 +66,8 @@ def main():
             prof_ctx.__enter__()
         t0 = time.perf_counter()
         slam(t, img, intr)
-        jax.block_until_ready(slam.poses_dev)
+        jax.block_until_ready(slam.st.poses if hasattr(slam, 'st')
+                              else slam.poses_dev)
         t_frame.append(time.perf_counter() - t0)
     if prof_ctx is not None:
         prof_ctx.__exit__(None, None, None)

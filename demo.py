@@ -44,7 +44,10 @@ def run(cfg, network, imagedir, calib, stride=1, skip=0, viz=False,
     reader.join()
 
     points = slam.point_cloud()
-    colors = slam.colors_np[:slam.n].reshape(-1, 3)
+    if hasattr(slam, 'colors_np'):
+        colors = slam.colors_np[:slam.n].reshape(-1, 3)
+    else:
+        colors = slam.colors().reshape(-1, 3)
 
     return slam.terminate(), (points, colors, (*intrinsics, H, W))
 

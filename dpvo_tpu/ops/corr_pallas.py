@@ -125,78 +125,82 @@ def _corr_raw(gmap_g, fmap, jslot, y0, x0, off, interpret=False):
 CHUNK = 128       # edges per program in the grouped kernel
 
 
-def _corr_group_kernel(fslot_ref, ysox_ref, xb_ref, gmap_ref, fmap_ref,
-                       out_ref, plane_ref):
+def _make_group_kernel(chunk):
     """Grouped variant: the whole target feature frame is VMEM-resident
     (Pallas re-uses the block when consecutive chunks hit the same frame),
     so per-edge work is pure VMEM reads + VPU reduce — no per-edge DMA.
 
     fslot_ref: (n_chunks,) frame slot per chunk (scalar prefetch)
-    ys/xb_ref: (Epad*P2*2 packed) per-pixel window starts (ys free,
-               xb 8-aligned) and x offsets
-    gmap_ref:  (CHUNK, P2, C) source patches for this chunk
+    ysox_ref:  (chunk, 3*P2) per-pixel window starts + signed offsets
+    xb_ref:    (chunk, P2) 8-aligned x window bases
+    gmap_ref:  (chunk, P2, C) source patches for this chunk
     fmap_ref:  (1, H, W, C) the target frame (block)
-    out_ref:   (CHUNK, P2, D, D) raw taps
+    out_ref:   (chunk, D, P2*D) packed raw taps
     """
-    c = pl.program_id(0)
+    def _corr_group_kernel(fslot_ref, ysox_ref, xb_ref, gmap_ref, fmap_ref,
+                           out_ref, plane_ref):
+        c = pl.program_id(0)
 
-    def edge_body(le, _):
-        for p in range(P2):
-            # per-pixel exact window: ys/xb are clipped into the image, and
-            # oy/ox are SIGNED offsets of the true tap origin; valid taps
-            # never wrap under the modular rolls (proof: tap in-image =>
-            # window index in range), wrapped entries are masked by the
-            # caller from true tap coords
-            ys = ysox_ref[le, 3 * p]
-            oy = ysox_ref[le, 3 * p + 1]
-            ox = ysox_ref[le, 3 * p + 2]
-            xb = pl.multiple_of(xb_ref[le, p], 8)
-            win = fmap_ref[0, pl.ds(ys, D), pl.ds(xb, 2 * D), :]  # (8,16,C)
-            g = gmap_ref[le, p].astype(jnp.float32)
-            plane = jnp.sum(win.astype(jnp.float32) * g, axis=-1)  # (8,16)
-            # Mosaic dynamic_rotate needs 128-lane-aligned vectors: stage the
-            # plane through a padded scratch, then roll both axes
-            plane_ref[:, 0:2 * D] = plane
-            s = plane_ref[...]                                     # (8,128)
-            rolled = pltpu.roll(pltpu.roll(s, -oy, axis=0), -ox, axis=1)
-            # packed output (D, P2*D): an (8,8) lane-padded block per pixel
-            # would blow the VMEM budget 16x
-            out_ref[le, :, p * D:(p + 1) * D] = rolled[:, :D]
-        return 0
+        def edge_body(le, _):
+            for p in range(P2):
+                # per-pixel exact window: ys/xb are clipped into the image,
+                # and oy/ox are SIGNED offsets of the true tap origin; valid
+                # taps never wrap under the modular rolls (tap in-image =>
+                # window index in range); wrapped entries are masked by the
+                # caller from true tap coords
+                ys = ysox_ref[le, 3 * p]
+                oy = ysox_ref[le, 3 * p + 1]
+                ox = ysox_ref[le, 3 * p + 2]
+                xb = pl.multiple_of(xb_ref[le, p], 8)
+                win = fmap_ref[0, pl.ds(ys, D), pl.ds(xb, 2 * D), :]
+                g = gmap_ref[le, p].astype(jnp.float32)
+                plane = jnp.sum(win.astype(jnp.float32) * g, axis=-1)
+                # Mosaic dynamic_rotate needs 128-lane-aligned vectors: stage
+                # the plane through a padded scratch, then roll both axes
+                plane_ref[:, 0:2 * D] = plane
+                s = plane_ref[...]                                 # (8,128)
+                rolled = pltpu.roll(pltpu.roll(s, -oy, axis=0), -ox, axis=1)
+                # packed output (D, P2*D): an (8,8) lane-padded block per
+                # pixel would blow the VMEM budget 16x
+                out_ref[le, :, p * D:(p + 1) * D] = rolled[:, :D]
+            return 0
 
-    jax.lax.fori_loop(0, CHUNK, edge_body, 0)
+        jax.lax.fori_loop(0, chunk, edge_body, 0)
+
+    return _corr_group_kernel
 
 
-@partial(jax.jit, static_argnames=('interpret',))
-def _corr_raw_grouped(gmap_g, fmap, fslot, ysox, xb, interpret=False):
+@partial(jax.jit, static_argnames=('interpret', 'chunk'))
+def _corr_raw_grouped(gmap_g, fmap, fslot, ysox, xb, interpret=False,
+                      chunk=CHUNK):
     """gmap_g (Epad, P2, C); fmap (F, H, W, C); fslot (n_chunks,);
     ysox (Epad, 3*P2) packed [ys, oy, ox]; xb (Epad, P2).
     Requires jj constant within each CHUNK (host groups + pads)."""
     Epad = gmap_g.shape[0]
     C = gmap_g.shape[-1]
     H, W = fmap.shape[1], fmap.shape[2]
-    n_chunks = Epad // CHUNK
+    n_chunks = Epad // chunk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,       # only the tiny chunk->frame-slot map
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((CHUNK, 3 * P2), lambda c, *_: (c, 0),
+            pl.BlockSpec((chunk, 3 * P2), lambda c, *_: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, P2), lambda c, *_: (c, 0),
+            pl.BlockSpec((chunk, P2), lambda c, *_: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, P2, C), lambda c, *_: (c, 0, 0),
+            pl.BlockSpec((chunk, P2, C), lambda c, *_: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H, W, C), lambda c, fslot: (fslot[c], 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((CHUNK, D, P2 * D), lambda c, *_: (c, 0, 0),
+        out_specs=pl.BlockSpec((chunk, D, P2 * D), lambda c, *_: (c, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((D, 128), jnp.float32)],
     )
 
     out = pl.pallas_call(
-        _corr_group_kernel,
+        _make_group_kernel(chunk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Epad, D, P2 * D), jnp.float32),
         interpret=interpret,
@@ -206,7 +210,7 @@ def _corr_raw_grouped(gmap_g, fmap, fslot, ysox, xb, interpret=False):
 
 
 def corr_pallas_grouped(gmap, fmap, coords, kk_slot, jj_slot, radius=3,
-                        interpret=False):
+                        interpret=False, chunk=CHUNK):
     """Grouped-by-target-frame correlation (fast path).
 
     CONTRACT: edges are sorted by jj_slot and padded so each CHUNK-sized
@@ -217,7 +221,7 @@ def corr_pallas_grouped(gmap, fmap, coords, kk_slot, jj_slot, radius=3,
     E, Pp = coords.shape[0], coords.shape[1]
     H, W = fmap.shape[1], fmap.shape[2]
     C = fmap.shape[3]
-    if H < 2 * D or W < 2 * D or E % CHUNK != 0:
+    if H < 2 * D or W < 2 * D or E % chunk != 0:
         from .corr import corr as corr_xla
         return corr_xla(gmap, fmap, coords, kk_slot, jj_slot, radius=radius)
 
@@ -234,12 +238,12 @@ def corr_pallas_grouped(gmap, fmap, coords, kk_slot, jj_slot, radius=3,
 
     ysox = jnp.stack([ys, oy, ox], axis=-1).reshape(E, Pp * Pp * 3)
     gmap_g = gmap[kk_slot].reshape(E, P2, C)
-    fslot = jj_slot.reshape(-1, CHUNK)[:, 0].astype(jnp.int32)
+    fslot = jj_slot.reshape(-1, chunk)[:, 0].astype(jnp.int32)
 
     raw = _corr_raw_grouped(gmap_g, fmap, fslot,
                             ysox.astype(jnp.int32),
                             xb.reshape(E, P2).astype(jnp.int32),
-                            interpret=interpret)
+                            interpret=interpret, chunk=chunk)
     raw = raw.reshape(E, Pp, Pp, D, D)
 
     dg = jnp.arange(D)

@@ -1,0 +1,126 @@
+"""Host wrapper for the device-resident VO runtime.
+
+Per frame: one H2D (image + patch seeds) and ONE dispatch — no readback
+until terminate(). Used automatically by DPVO for pure-VO configs; the
+loop-closure backends run on the hybrid runtime (runtime/dpvo.py).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.vonet import DIM, P, RES, VONetParams, init_vonet_params
+from ..models.checkpoint import load_network
+from . import numpy_se3 as nse3
+from .device_vo import init_state, vo_frame, _gp_cap
+
+
+class DeviceVO:
+    """Same public surface as DPVO (construct / __call__ / terminate)."""
+
+    def __init__(self, cfg, network, ht=480, wd=640, viz=False, seed=1234):
+        self.cfg = cfg
+        self.ht, self.wd = ht, wd
+        self.M = cfg.PATCHES_PER_FRAME
+        self.rng = np.random.RandomState(seed)
+        self.P, self.RES, self.DIM = P, RES, DIM
+
+        from .dpvo import DPVO as _HybridVO
+        _HybridVO.load_weights(self, network)   # sets self.params
+
+        self._static = dict(
+            M=self.M, pmem=36, mem=36,
+            W=cfg.OPTIMIZATION_WINDOW,
+            PCF=cfg.REMOVAL_WINDOW + 4,
+            r=cfg.PATCH_LIFETIME,
+            kf_index=cfg.KEYFRAME_INDEX,
+            opt_window=cfg.OPTIMIZATION_WINDOW,
+            removal_window=cfg.REMOVAL_WINDOW,
+            kf_thresh=float(cfg.KEYFRAME_THRESH),
+            motion_damping=float(cfg.MOTION_DAMPING),
+            motion_model=cfg.MOTION_MODEL,
+            mixed_precision=bool(cfg.MIXED_PRECISION),
+            use_pallas=jax.default_backend() in ('tpu', 'axon'),
+        )
+        self.st = None
+        self.tlist = []
+        self.viewer = None
+
+    def __call__(self, tstamp, image, intrinsics):
+        if self.st is None:
+            self.st = init_state(self.cfg, self.ht, self.wd, intrinsics)
+
+        self.tlist.append(tstamp)
+        h4, w4 = self.ht // RES, self.wd // RES
+        x = self.rng.randint(1, w4 - 1, self.M)
+        y = self.rng.randint(1, h4 - 1, self.M)
+        coords = np.stack([x, y], -1).astype(np.float32)
+        depth_seed = self.rng.rand(self.M).astype(np.float32)
+
+        self.st = vo_frame(
+            self.params, self.st,
+            jnp.asarray(np.ascontiguousarray(image)),
+            jnp.asarray(coords), jnp.asarray(depth_seed),
+            jnp.float32(tstamp), **self._static)
+
+    def terminate(self):
+        from .device_vo import vo_refine
+        for _ in range(12):
+            self.st = vo_refine(self.params, self.st, **{
+                k: v for k, v in self._static.items()
+                if k in ('M', 'pmem', 'mem', 'W', 'PCF', 'opt_window',
+                         'mixed_precision', 'use_pallas')})
+
+        # the one big readback of the run
+        st = jax.device_get((self.st.poses, self.st.tstamps,
+                             self.st.delta_src, self.st.delta_pose,
+                             self.st.n, self.st.counter))
+        poses_np, tstamps, delta_src, delta_pose, n, counter = st
+        n, counter = int(n), int(counter)
+
+        traj = {}
+        for i in range(n):
+            traj[int(tstamps[i])] = poses_np[i]
+
+        def get_pose(t):
+            chain = []
+            while t not in traj:
+                chain.append(t)
+                t = int(delta_src[t])
+            pose = traj[t]
+            for t1 in reversed(chain):
+                pose = nse3.mul(delta_pose[t1], pose)
+            return pose
+
+        poses = np.stack([get_pose(t) for t in range(counter)])
+        poses = nse3.inv(poses)
+        tstamps_out = np.array(self.tlist, dtype=np.float64)
+        return poses, tstamps_out
+
+    # convenience accessors (post-hoc; each is one readback)
+    @property
+    def n(self):
+        return int(self.st.n) if self.st is not None else 0
+
+    def point_cloud(self):
+        from .. import projective as pops
+        st = self.st
+        n = int(st.n)
+        m = n * self.M
+        centers = np.asarray(st.centers[:m])
+        depth = np.asarray(st.depth[:m])
+        poses = np.asarray(st.poses)
+        intr = np.asarray(st.intr)
+        xn = (centers[:, 0] - intr[2]) / intr[0]
+        yn = (centers[:, 1] - intr[3]) / intr[1]
+        pts_c = np.stack([xn, yn, np.ones(m)], -1) / np.maximum(
+            depth[:, None], 1e-6)
+        ix = np.arange(m) // self.M
+        c2w = nse3.inv(poses[ix])
+        return nse3.quat_rotate(c2w[:, 3:7], pts_c) + c2w[:, :3]
+
+    def colors(self):
+        n = int(self.st.n)
+        clr = np.asarray(self.st.colors[:n])
+        return np.clip(clr[..., [2, 1, 0]], 0, 255).astype(np.uint8)
