@@ -51,6 +51,15 @@ class DeviceVO:
         if self.st is None:
             self.st = init_state(self.cfg, self.ht, self.wd, intrinsics)
 
+        from .device_vo import CNT_CAP
+        if len(self.tlist) + 1 >= CNT_CAP:
+            raise Exception('input frame capacity exceeded; raise '
+                            'device_vo.CNT_CAP')
+        if len(self.tlist) + 1 >= self.cfg.BUFFER_SIZE:
+            raise Exception(
+                f'The buffer size is too small. You can increase it using '
+                f'"--opts BUFFER_SIZE={self.cfg.BUFFER_SIZE * 2}"')
+
         self.tlist.append(tstamp)
         h4, w4 = self.ht // RES, self.wd // RES
         x = self.rng.randint(1, w4 - 1, self.M)

@@ -35,7 +35,7 @@ def test_grouped_parity_interpret():
 def test_edge_table_grouping():
     """Padded table keeps one target slot per CHUNK and maps edges back."""
     from dpvo_tpu.config import cfg as default_cfg
-    from dpvo_tpu.runtime import DPVO
+    from dpvo_tpu.runtime import HybridVO as DPVO
 
     c = default_cfg.clone()
     c.PATCHES_PER_FRAME = 4
