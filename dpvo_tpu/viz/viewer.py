@@ -54,6 +54,11 @@ class Viewer:
             pass
 
     def join(self):
+        # drain pending frames before stopping the render thread
+        import time
+        deadline = time.time() + 5
+        while not self.q.empty() and time.time() < deadline:
+            time.sleep(0.05)
         self._stop.set()
         self.thread.join(timeout=5)
 
