@@ -105,6 +105,13 @@ def _gather_blocks(r, w, Ji, Jj, Jz, ii, jj, kk, t0, patch_base, W, PC):
     vj = (wj >= 0) & (wj < W)
     vk = (pk >= 0) & (pk < PC)
 
+    # CONSISTENT drop: an edge whose patch slot falls outside the depth
+    # window must not contribute to the pose blocks either — otherwise its
+    # depth is silently treated as fixed while its reprojection still pulls
+    # on the poses (long-range loop-closure edges are handled by global BA,
+    # not here). Zero its weight everywhere.
+    w = w * vk[:, None].astype(w.dtype)
+
     def seg(vals, ids, valid, num):
         ids = jnp.where(valid, ids, num)
         return jax.ops.segment_sum(vals, ids, num_segments=num + 1,
@@ -175,6 +182,7 @@ def bundle_adjust(poses, xy, depth, intrinsics, target, weight, lmbda,
 
         if structure_only:
             dZ = Q * u
+            dZ = jnp.where(jnp.all(jnp.isfinite(dZ)), dZ, 0.0)
             dX = jnp.zeros((W, 6), jnp.float32)
         else:
             # dense Schur complement on the pose block
@@ -189,6 +197,14 @@ def bundle_adjust(poses, xy, depth, intrinsics, target, weight, lmbda,
             dX = jax.scipy.linalg.cho_solve(cf, y)
             dZ = Q * (u - jnp.matmul(E2.T, dX, precision=_HIGHEST))
             dX = dX.reshape(W, 6)
+
+            # graceful failure: a non-PSD window (all-masked edges, degenerate
+            # geometry) yields NaN from the Cholesky under jit instead of an
+            # exception — zero the update like the reference's try/except
+            # (dpvo/ba.py:12-37, dpvo/dpvo.py:355-356).
+            ok = jnp.all(jnp.isfinite(dX)) & jnp.all(jnp.isfinite(dZ))
+            dX = jnp.where(ok, dX, 0.0)
+            dZ = jnp.where(ok, dZ, 0.0)
 
             # retract poses in [t0, t1): slots >= t1-t0 get a zero update
             slot_idx = t0 + jnp.arange(W)

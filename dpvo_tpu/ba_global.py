@@ -237,6 +237,12 @@ def _global_ba_jit(poses, xy, depth, intrinsics, target, weight, lmbda,
             num_segments=PC)
         dZ = Q * (u - EtdX)
 
+        # graceful failure on a non-PSD system: zero update instead of
+        # silently propagating NaN (reference dpvo/ba.py:12-37 posture)
+        ok = jnp.all(jnp.isfinite(dX)) & jnp.all(jnp.isfinite(dZ))
+        dX = jnp.where(ok, dX, 0.0)
+        dZ = jnp.where(ok, dZ, 0.0)
+
         slot_idx = t0 + jnp.arange(W)
         live = (slot_idx < t1)[:, None]
         dXm = jnp.where(live, dX, 0.0)

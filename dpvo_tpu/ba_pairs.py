@@ -164,6 +164,12 @@ def bundle_adjust_pairs(poses, centers, depth, intr, target, weight, lmbda,
         dZ = Q * (u - jnp.matmul(E2.T, dX, precision=_HIGHEST))
         dX = dX.reshape(W, 6)
 
+        # graceful failure on a non-PSD window: zero update instead of
+        # silently propagating NaN (reference dpvo/ba.py:12-37 posture)
+        ok = jnp.all(jnp.isfinite(dX)) & jnp.all(jnp.isfinite(dZ))
+        dX = jnp.where(ok, dX, 0.0)
+        dZ = jnp.where(ok, dZ, 0.0)
+
         slot_idx = t0 + jnp.arange(W)
         live = (slot_idx < t1)[:, None]
         dX = jnp.where(live, dX, 0.0)

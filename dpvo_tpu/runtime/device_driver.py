@@ -46,6 +46,9 @@ class DeviceVO:
         self.st = None
         self.tlist = []
         self.viewer = None
+        # lazy keyframe-count guard state (see __call__)
+        self._last_n = 0
+        self._since_check = 0
 
     def __call__(self, tstamp, image, intrinsics):
         if self.st is None:
@@ -55,10 +58,21 @@ class DeviceVO:
         if len(self.tlist) + 1 >= CNT_CAP:
             raise Exception('input frame capacity exceeded; raise '
                             'device_vo.CNT_CAP')
-        if len(self.tlist) + 1 >= self.cfg.BUFFER_SIZE:
-            raise Exception(
-                f'The buffer size is too small. You can increase it using '
-                f'"--opts BUFFER_SIZE={self.cfg.BUFFER_SIZE * 2}"')
+
+        # BUFFER_SIZE bounds KEYFRAMES, not input frames (reference
+        # dpvo.py:383-384 guards on self.n). The keyframe count st.n lives
+        # on device; read it back only when the worst case — every frame
+        # since the last check accepted as a keyframe — could overflow the
+        # buffer. Amortized: zero readbacks until input count nears
+        # BUFFER_SIZE, then one scalar D2H per ~(N - n) frames.
+        self._since_check += 1
+        if self._last_n + self._since_check + 2 >= self.cfg.BUFFER_SIZE:
+            self._last_n = int(self.st.n)
+            self._since_check = 0
+            if self._last_n + 2 >= self.cfg.BUFFER_SIZE:
+                raise Exception(
+                    f'The buffer size is too small. You can increase it '
+                    f'using "--opts BUFFER_SIZE={self.cfg.BUFFER_SIZE * 2}"')
 
         self.tlist.append(tstamp)
         h4, w4 = self.ht // RES, self.wd // RES

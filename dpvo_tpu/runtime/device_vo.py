@@ -31,8 +31,7 @@ import numpy as np
 from .. import lie
 from ..ba_pairs import bundle_adjust_pairs, pair_centers, pair_depth
 from ..models.vonet import DIM, P, patchify_frame, update_op
-from ..ops.corr_pallas import corr_pallas_grouped
-from ..ops.corr import corr as corr_xla
+from ..ops.corr_mxu import corr_mxu
 
 CNT_CAP = 16384     # max input frames per sequence
 
@@ -315,16 +314,8 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
         kk_slot = ((pi_a % pmem)[:, None] * M +
                    jnp.arange(M)[None, :]).reshape(E)
         jj_slot = jnp.repeat(pj_a % mem, M)
-        if use_pallas:
-            c1 = corr_pallas_grouped(st.gmap, st.fmap1, coords_f, kk_slot,
-                                     jj_slot, chunk=M)
-            c2 = corr_pallas_grouped(st.gmap, st.fmap2, coords_f / 4.0,
-                                     kk_slot, jj_slot, chunk=M)
-        else:
-            c1 = corr_xla(st.gmap, st.fmap1, coords_f, kk_slot, jj_slot,
-                          radius=3)
-            c2 = corr_xla(st.gmap, st.fmap2, coords_f / 4.0, kk_slot,
-                          jj_slot, radius=3)
+        c1 = corr_mxu(st.gmap, st.fmap1, coords_f, kk_slot, jj_slot)
+        c2 = corr_mxu(st.gmap, st.fmap2, coords_f / 4.0, kk_slot, jj_slot)
         corr_feat = jnp.stack([c1, c2], axis=-1).reshape(E, -1)
         inp = st.imap[kk_slot]
         return coords_r, corr_feat, inp
@@ -502,15 +493,8 @@ def vo_refine(params, st, *, M, pmem, mem, W, PCF, opt_window,
     coords_f = coords_r.reshape(E, P, P, 2)
     kk_slot = ((st.pi % pmem)[:, None] * M + marange[None, :]).reshape(E)
     jj_slot = jnp.repeat(st.pj % mem, M)
-    if use_pallas:
-        c1 = corr_pallas_grouped(st.gmap, st.fmap1, coords_f, kk_slot,
-                                 jj_slot, chunk=M)
-        c2 = corr_pallas_grouped(st.gmap, st.fmap2, coords_f / 4.0, kk_slot,
-                                 jj_slot, chunk=M)
-    else:
-        c1 = corr_xla(st.gmap, st.fmap1, coords_f, kk_slot, jj_slot, radius=3)
-        c2 = corr_xla(st.gmap, st.fmap2, coords_f / 4.0, kk_slot, jj_slot,
-                      radius=3)
+    c1 = corr_mxu(st.gmap, st.fmap1, coords_f, kk_slot, jj_slot)
+    c2 = corr_mxu(st.gmap, st.fmap2, coords_f / 4.0, kk_slot, jj_slot)
     corr_feat = jnp.stack([c1, c2], axis=-1).reshape(E, -1)
     inp = st.imap[kk_slot]
 

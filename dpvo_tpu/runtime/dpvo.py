@@ -105,10 +105,9 @@ class DPVO:
         self._pending_kf_k = -1
         self._host_to_dev = np.zeros(0, np.int32)  # edge -> device net row
         self._use_pallas = jax.default_backend() in ('tpu', 'axon')
-        # grouped corr kernel needs the whole feature frame in VMEM
-        self._corr_mode = 'grouped' if (
-            self._use_pallas and (ht // 4) * (wd // 4) * 128 * 2 < 6_000_000
-        ) else ('pallas' if self._use_pallas else 'xla')
+        # MXU-formulated corr (ops/corr_mxu.py): no edge sorting / group
+        # padding contract, windows via pallas DMA on TPU / gather on CPU
+        self._corr_mode = 'mxu'
 
         self.n = 0           # frame count
         self.m = 0           # patch count
@@ -423,7 +422,7 @@ class DPVO:
             W=self.W_CAP, PC=self.PC_CAP, iterations=2,
             run_ba=run_ba and not use_global,
             mixed_precision=self.cfg.MIXED_PRECISION,
-            corr_mode='pallas' if self._use_pallas else 'xla')
+            corr_mode=self._corr_mode)
 
         if use_global:
             self._run_global_ba()
@@ -503,7 +502,7 @@ class DPVO:
             jnp.int32(1), jnp.int32(self.n), jnp.int32(0),
             W=self.W_CAP, PC=self.PC_CAP, iterations=2, run_ba=False,
             mixed_precision=self.cfg.MIXED_PRECISION,
-            corr_mode='pallas' if self._use_pallas else 'xla')
+            corr_mode=self._corr_mode)
         _, self.poses_dev, self.depth_dev, _, _, delta = out
         return float(probe_median_delta(delta, mask))
 
@@ -723,12 +722,15 @@ class DPVO:
         self._ecap = cap
 
         if do_update and run_ba:
-            # refresh host mirrors from the returned windows
+            # refresh host mirrors from the returned windows (slice starts
+            # clamped identically on device, see state.py frame_step)
+            ps = min(t0, self.N - (self.W_CAP + 2))
             pw = np.asarray(pose_win)
-            hi = min(t0 + self.W_CAP + 2, self.n)
-            self.poses_np[t0:hi] = pw[:hi - t0]
+            hi = min(ps + self.W_CAP + 2, self.n)
+            self.poses_np[ps:hi] = pw[:hi - ps]
+            ds = min(patch_base, self.N * self.M - self.PC_CAP)
             dw = np.asarray(depth_win)
-            self.depth_np[patch_base:patch_base + self.PC_CAP] = dw
+            self.depth_np[ds:ds + self.PC_CAP] = dw
 
         return clr
 

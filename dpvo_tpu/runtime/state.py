@@ -130,7 +130,11 @@ def update_step(params, poses, patch_xy, depth, intrinsics,
     coords = _reproject(poses, patch_xy, depth, intrinsics, ii, jj, kk)
 
     gmap_flat = gmap_buf                                  # (pmem*M, P, P, 128)
-    if corr_mode == 'pallas':
+    if corr_mode == 'mxu':
+        from ..ops.corr_mxu import corr_mxu
+        c1 = corr_mxu(gmap_flat, fmap1_buf, coords, kk_slot, jj_slot)
+        c2 = corr_mxu(gmap_flat, fmap2_buf, coords / 4.0, kk_slot, jj_slot)
+    elif corr_mode == 'pallas':
         from ..ops.corr_pallas import corr_pallas
         c1 = corr_pallas(gmap_flat, fmap1_buf, coords, kk_slot, jj_slot)
         c2 = corr_pallas(gmap_flat, fmap2_buf, coords / 4.0, kk_slot, jj_slot)
@@ -327,7 +331,12 @@ def frame_step(params, poses, patch_xy, depth, intrinsics,
          pair_ids) = edge_table[:9]
         coords_r = _reproject(poses, patch_xy, depth, intrinsics, ii, jj, kk)
 
-        if corr_mode == 'grouped':
+        if corr_mode == 'mxu':
+            from ..ops.corr_mxu import corr_mxu
+            c1 = corr_mxu(gmap_buf, fmap1_buf, coords_r, kk_slot, jj_slot)
+            c2 = corr_mxu(gmap_buf, fmap2_buf, coords_r / 4.0, kk_slot,
+                          jj_slot)
+        elif corr_mode == 'grouped':
             from ..ops.corr_pallas import corr_pallas_grouped
             c1 = corr_pallas_grouped(gmap_buf, fmap1_buf, coords_r, kk_slot,
                                      jj_slot)
@@ -358,14 +367,21 @@ def frame_step(params, poses, patch_xy, depth, intrinsics,
 
         if run_ba:
             xy_center = patch_xy[:, :, P // 2, P // 2]
+            # t1 is an exclusive count: n is the NEW frame's slot index, so
+            # n + 1 frames exist — the newest pose must be optimized too
+            # (reference fastba.BA(..., t0, self.n) with post-increment n).
             poses, depth = ba_mod.bundle_adjust(
                 poses, xy_center, depth, intrinsics[0], target_buf,
-                weight_buf, 1e-4, ii, jj, kk, mask, t0, n, patch_base,
+                weight_buf, 1e-4, ii, jj, kk, mask, t0, n + 1, patch_base,
                 W=W, PC=PC, iterations=iterations)
 
-    # small host mirrors
-    pose_win = jax.lax.dynamic_slice(poses, (t0, 0), (W + 2, 7))
-    depth_win = jax.lax.dynamic_slice(depth, (patch_base,), (PC,))
+    # small host mirrors; clamp slice starts exactly like the host does so
+    # row 0 of each window always corresponds to the host-computed start
+    N = poses.shape[0]
+    pose_start = jnp.minimum(t0, N - (W + 2))
+    pose_win = jax.lax.dynamic_slice(poses, (pose_start, 0), (W + 2, 7))
+    depth_start = jnp.minimum(patch_base, depth.shape[0] - PC)
+    depth_win = jax.lax.dynamic_slice(depth, (depth_start,), (PC,))
 
     return (poses, patch_xy, depth, intrinsics, imap_buf, gmap_buf,
             fmap1_buf, fmap2_buf, net, target_buf, weight_buf,

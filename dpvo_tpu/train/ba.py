@@ -90,6 +90,7 @@ def bundle_adjust_train(poses, xy, depth, intrinsics, target, weight,
 
     if structure_only:
         dZ = Q * u
+        dZ = jnp.where(jnp.all(jnp.isfinite(dZ)), dZ, 0.0)
         dX = jnp.zeros((W, 6), jnp.float32)
     else:
         S = B.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
@@ -103,6 +104,14 @@ def bundle_adjust_train(poses, xy, depth, intrinsics, target, weight,
         dX = jax.scipy.linalg.cho_solve(cf, y)
         dZ = Q * (u - jnp.matmul(E2.T, dX, precision=_HIGHEST))
         dX = dX.reshape(W, 6)
+
+        # graceful failure on a non-PSD window: zero update instead of
+        # silently propagating NaN through the unrolled training graph
+        # (reference dpvo/ba.py:12-37 posture); where() keeps this
+        # differentiable on the finite branch.
+        ok = jnp.all(jnp.isfinite(dX)) & jnp.all(jnp.isfinite(dZ))
+        dX = jnp.where(ok, dX, 0.0)
+        dZ = jnp.where(ok, dZ, 0.0)
 
     # depth retraction + training clamp (dpvo/ba.py:176); requires PC <= Np
     add = jnp.zeros_like(depth).at[:PC].add(jnp.where(touched > 0, dZ, 0.0))
