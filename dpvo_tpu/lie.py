@@ -324,6 +324,32 @@ def rxso3_act(data, p):
     return s * quat_rotate(q, p)
 
 
+def rxso3_act4(data, p4):
+    """Act on homogeneous points [x, y, z, w]: X' = s R x (w unchanged)."""
+    x, w = p4[..., :3], p4[..., 3:4]
+    return jnp.concatenate([rxso3_act(data, x), w], axis=-1)
+
+
+def rxso3_adj(data, xi):
+    """Adjoint on (..., 4) tangents [phi, sigma]: rotation part rotated,
+    scale part invariant (reference include/rxso3.h Adj)."""
+    q = data[..., :4]
+    phi, sigma = xi[..., :3], xi[..., 3:4]
+    return jnp.concatenate([quat_rotate(q, phi), sigma], axis=-1)
+
+
+def rxso3_adjT(data, X):
+    """Transpose adjoint: <adjT(G) X, xi> == <X, adj(G) xi>."""
+    q = data[..., :4]
+    a, b = X[..., :3], X[..., 3:4]
+    return jnp.concatenate([quat_rotate(quat_inv(q), a), b], axis=-1)
+
+
+def rxso3_matrix(data):
+    """(..., 3, 3) scaled rotation matrix s*R."""
+    return quat_to_matrix(data[..., :4]) * data[..., 4:5, None]
+
+
 # ---------------------------------------------------------------------------
 # Sim3
 # ---------------------------------------------------------------------------
@@ -618,10 +644,9 @@ class SO3(_LieGroup):
 class RxSO3(_LieGroup):
     embedded_dim = 5
     _fns = dict(exp=rxso3_exp, log=rxso3_log, inv=rxso3_inv, mul=rxso3_mul,
-                act=rxso3_act, act4=None,
+                act=rxso3_act, act4=rxso3_act4,
                 retr=lambda d, xi: rxso3_mul(rxso3_exp(xi), d),
-                matrix=lambda d: quat_to_matrix(d[..., :4]) * d[..., 4, None, None],
-                adjT=None)
+                matrix=rxso3_matrix, adj=rxso3_adj, adjT=rxso3_adjT)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -10,7 +10,12 @@ row-gather — with double-buffered HBM->VMEM copies across the edge grid.
 Semantics match the reference except windows are clamped so the WINxWIN
 region lies inside the image; taps whose true integer coordinates fall
 outside the image are zeroed afterwards (exact reference behavior), and in
-the rare case a patch projects with spread > WIN-D px the offsets clamp.
+the rare case a patch projects with spread > WIN-D px the offsets clamp —
+and likewise when the window base itself is clipped at an image border
+(patch center within ~5 px of the right/bottom edge), so values there can
+be shifted by a few pixels. These kernels are KEPT FOR COMPARISON ONLY;
+the production paths are ops/corr_fused.py and ops/corr_mxu.py, which are
+exact at borders.
 
 Out-of-kernel (XLA, cheap elementwise): floor/frac decomposition, validity
 masks, the 4-tap bilinear combination, and the reference's feature layout
@@ -221,7 +226,10 @@ def corr_pallas_grouped(gmap, fmap, coords, kk_slot, jj_slot, radius=3,
     E, Pp = coords.shape[0], coords.shape[1]
     H, W = fmap.shape[1], fmap.shape[2]
     C = fmap.shape[3]
-    if H < 2 * D or W < 2 * D or E % chunk != 0:
+    # W % 8 != 0 would let the 8-aligned window base sit close enough to the
+    # right edge that valid taps land in never-written scratch lanes (the
+    # mask only covers out-of-image taps) — route to the exact XLA path.
+    if H < 2 * D or W < 2 * D or E % chunk != 0 or H % 8 or W % 8:
         from .corr import corr as corr_xla
         return corr_xla(gmap, fmap, coords, kk_slot, jj_slot, radius=radius)
 

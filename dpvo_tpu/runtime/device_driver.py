@@ -46,6 +46,12 @@ class DeviceVO:
         self.st = None
         self.tlist = []
         self.viewer = None
+        if viz:
+            try:
+                from ..viz.viewer import Viewer
+                self.viewer = Viewer()
+            except Exception as e:
+                print(f'WARNING: viewer unavailable: {e}')
         # lazy keyframe-count guard state (see __call__)
         self._last_n = 0
         self._since_check = 0
@@ -87,6 +93,22 @@ class DeviceVO:
             jnp.asarray(coords), jnp.asarray(depth_seed),
             jnp.float32(tstamp), **self._static)
 
+        if self.viewer is not None:
+            self.viewer.update_image(image)
+            # each snapshot costs one readback (~100 ms on the attach path);
+            # viz mode trades FPS for the live view, like --viz upstream
+            if len(self.tlist) % 10 == 0:
+                self._push_viewer_state()
+
+    def _push_viewer_state(self):
+        n = int(self.st.n)
+        if n < 2:
+            return
+        poses_wfc = nse3.inv(np.asarray(self.st.poses[:n]))
+        pts = self.point_cloud()
+        clr = np.asarray(self.st.colors[:n]).reshape(-1, 3)
+        self.viewer.update_state(poses_wfc, pts, clr)
+
     def terminate(self):
         from .device_vo import vo_refine
         for _ in range(12):
@@ -119,6 +141,9 @@ class DeviceVO:
         poses = np.stack([get_pose(t) for t in range(counter)])
         poses = nse3.inv(poses)
         tstamps_out = np.array(self.tlist, dtype=np.float64)
+        if self.viewer is not None:
+            self._push_viewer_state()
+            self.viewer.join()
         return poses, tstamps_out
 
     # convenience accessors (post-hoc; each is one readback)

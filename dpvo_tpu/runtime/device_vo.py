@@ -31,7 +31,7 @@ import numpy as np
 from .. import lie
 from ..ba_pairs import bundle_adjust_pairs, pair_centers, pair_depth
 from ..models.vonet import DIM, P, patchify_frame, update_op
-from ..ops.corr_mxu import corr_mxu
+from ..ops.corr_fused import corr_fused
 
 CNT_CAP = 16384     # max input frames per sequence
 
@@ -114,11 +114,18 @@ def init_state(cfg, ht, wd, intrinsics):
 
 
 def _gp_cap(cfg):
-    """Static pair capacity: active source frames x pairs per source frame."""
+    """Static pair capacity = exact steady-state maximum of live pairs.
+
+    A source frame i = n-k contributes at most r backward pairs (created at
+    step i+1) plus min(r-1, k-1) forward pairs (created at steps i+2..i+r);
+    sources are retired when k > REMOVAL_WINDOW. Summing over k=1..Rw and
+    adding one frame's fresh appends (2r-1) as margin gives the bound.
+    """
     r = cfg.PATCH_LIFETIME
-    frames = cfg.REMOVAL_WINDOW + 3
-    per = 2 * r + 2
-    return int(-(-(frames * per) // 64) * 64)
+    rw = cfg.REMOVAL_WINDOW
+    total = sum(min(r - 1, k - 1) + r for k in range(1, rw + 1))
+    total += 2 * r - 1
+    return int(-(-total // 64) * 64)
 
 
 # ---------------------------------------------------------------------------
@@ -225,8 +232,14 @@ def _shift_frames(st, k, n, M, pmem, mem):
 
 
 def _compact_pairs(st):
-    """Stable-partition valid pairs to the front; permute per-pair state."""
-    order = jnp.argsort(~st.pvalid, stable=True)
+    """Sort pairs by target frame (invalid last); permute per-pair state.
+
+    Grouping by pj is the frame-resident corr kernel's contract (each pj
+    change re-DMAs the fmap slabs, ops/corr_fused.py) — and compaction
+    comes for free: invalid pairs sort to the back.
+    """
+    BIG = jnp.int32(1 << 20)
+    order = jnp.argsort(jnp.where(st.pvalid, st.pj, BIG), stable=True)
     st.pi = st.pi[order]
     st.pj = st.pj[order]
     st.pvalid = st.pvalid[order]
@@ -314,8 +327,8 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
         kk_slot = ((pi_a % pmem)[:, None] * M +
                    jnp.arange(M)[None, :]).reshape(E)
         jj_slot = jnp.repeat(pj_a % mem, M)
-        c1 = corr_mxu(st.gmap, st.fmap1, coords_f, kk_slot, jj_slot)
-        c2 = corr_mxu(st.gmap, st.fmap2, coords_f / 4.0, kk_slot, jj_slot)
+        c1, c2 = corr_fused(st.gmap, st.fmap1, st.fmap2, coords_f,
+                            kk_slot, jj_slot)
         corr_feat = jnp.stack([c1, c2], axis=-1).reshape(E, -1)
         inp = st.imap[kk_slot]
         return coords_r, corr_feat, inp
@@ -380,6 +393,9 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
         st.net = st.net.at[idx].set(0.0, mode='drop')
         st.target = st.target.at[idx].set(0.0, mode='drop')
         st.weight = st.weight.at[idx].set(0.0, mode='drop')
+
+        # group pairs by target frame (corr_fused slab-reuse contract)
+        st = _compact_pairs(st)
 
         # ---- update iterations (1 steady / 12 bootstrap) ---- #
         ix_pair, jx_pair = _pair_neighbors(st.pi, st.pj, st.pvalid, GP)
@@ -493,8 +509,8 @@ def vo_refine(params, st, *, M, pmem, mem, W, PCF, opt_window,
     coords_f = coords_r.reshape(E, P, P, 2)
     kk_slot = ((st.pi % pmem)[:, None] * M + marange[None, :]).reshape(E)
     jj_slot = jnp.repeat(st.pj % mem, M)
-    c1 = corr_mxu(st.gmap, st.fmap1, coords_f, kk_slot, jj_slot)
-    c2 = corr_mxu(st.gmap, st.fmap2, coords_f / 4.0, kk_slot, jj_slot)
+    c1, c2 = corr_fused(st.gmap, st.fmap1, st.fmap2, coords_f,
+                        kk_slot, jj_slot)
     corr_feat = jnp.stack([c1, c2], axis=-1).reshape(E, -1)
     inp = st.imap[kk_slot]
 

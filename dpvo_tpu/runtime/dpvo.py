@@ -107,7 +107,10 @@ class DPVO:
         self._use_pallas = jax.default_backend() in ('tpu', 'axon')
         # MXU-formulated corr (ops/corr_mxu.py): no edge sorting / group
         # padding contract, windows via pallas DMA on TPU / gather on CPU
-        self._corr_mode = 'mxu'
+        self._corr_mode = 'fused'
+        # optional test seam: (poses, patch_xy, depth, intr, ii, jj, kk) ->
+        # (target, weight), replacing the learned corr+update path
+        self._oracle = None
 
         self.n = 0           # frame count
         self.m = 0           # patch count
@@ -396,6 +399,7 @@ class DPVO:
     def _run_update(self, run_ba=True):
         """Standalone update+BA dispatch (bootstrap / terminate path; the
         steady-state per-frame path runs fused inside frame_step)."""
+        self._sort_edges()          # corr_fused groups edges by target slot
         self._flush_pending()
         tab_np, cap, _ = self._edge_table(self.ii, self.jj, self.kk)
         tab_full = jnp.asarray(tab_np)
@@ -422,7 +426,7 @@ class DPVO:
             W=self.W_CAP, PC=self.PC_CAP, iterations=2,
             run_ba=run_ba and not use_global,
             mixed_precision=self.cfg.MIXED_PRECISION,
-            corr_mode=self._corr_mode)
+            corr_mode=self._corr_mode, oracle=self._oracle)
 
         if use_global:
             self._run_global_ba()
@@ -502,7 +506,7 @@ class DPVO:
             jnp.int32(1), jnp.int32(self.n), jnp.int32(0),
             W=self.W_CAP, PC=self.PC_CAP, iterations=2, run_ba=False,
             mixed_precision=self.cfg.MIXED_PRECISION,
-            corr_mode=self._corr_mode)
+            corr_mode=self._corr_mode, oracle=self._oracle)
         _, self.poses_dev, self.depth_dev, _, _, delta = out
         return float(probe_median_delta(delta, mask))
 
@@ -668,9 +672,30 @@ class DPVO:
 
         self.keyframe()
 
+        if self.viewer is not None and self.n % 3 == 0:
+            self._push_viewer_state()
+
         if self.cfg.CLASSIC_LOOP_CLOSURE and self.long_term_lc:
             self.long_term_lc.attempt_loop_closure(self.n)
             self.long_term_lc.lc_callback()
+
+    def _push_viewer_state(self):
+        """3D snapshot from the host mirrors — no extra device traffic
+        (reference pushes points every update, dpvo.py:358-360)."""
+        n, M = self.n, self.M
+        if n < 2:
+            return
+        centers = self.centers_np[:n * M]
+        depth = np.maximum(self.depth_np[:n * M], 1e-6)
+        fx, fy, cx, cy = self.intr_np
+        xn = (centers[:, 0] - cx) / fx
+        yn = (centers[:, 1] - cy) / fy
+        pts_c = np.stack([xn, yn, np.ones(n * M)], -1) / depth[:, None]
+        c2w = nse3.inv(self.poses_np[np.arange(n * M) // M])
+        pts = nse3.act(c2w, pts_c)
+        poses_wfc = nse3.inv(self.poses_np[:n])
+        clr = self.colors_np[:n].reshape(-1, 3)[:, ::-1]
+        self.viewer.update_state(poses_wfc, pts, clr)
 
     def _set_colors(self, ns, clr):
         self.colors_np[ns] = np.clip(
@@ -715,7 +740,7 @@ class DPVO:
             W=self.W_CAP, PC=self.PC_CAP, iterations=2, run_ba=run_ba,
             do_update=do_update, mixed_precision=self.cfg.MIXED_PRECISION,
             M=self.M, pmem=self.pmem, mem=self.mem,
-            corr_mode=self._corr_mode)
+            corr_mode=self._corr_mode, oracle=self._oracle)
 
         self._pending_kf_k = -1
         self._host_to_dev = pad_pos.astype(np.int32)

@@ -42,6 +42,11 @@ def mul(a, b):
     return np.concatenate([t, q], axis=-1)
 
 
+def act(g, p):
+    """Apply SE3 [t, q] (..., 7) to points p (..., 3)."""
+    return quat_rotate(g[..., 3:7], p) + g[..., :3]
+
+
 def _hat(p):
     a, b, c = p[..., 0], p[..., 1], p[..., 2]
     o = np.zeros_like(a)

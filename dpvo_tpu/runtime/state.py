@@ -112,25 +112,49 @@ def _reproject(poses, patch_xy, depth, intrinsics, ii, jj, kk):
 
 @partial(jax.jit,
          static_argnames=('W', 'PC', 'iterations', 'run_ba',
-                          'mixed_precision', 'corr_mode'),
+                          'mixed_precision', 'corr_mode', 'oracle'),
          donate_argnames=('poses', 'depth', 'net'))
 def update_step(params, poses, patch_xy, depth, intrinsics,
                 imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
                 net, edge_table, mask, t0, t1, patch_base,
                 *, W, PC, iterations=2, run_ba=True, mixed_precision=True,
-                corr_mode='pallas'):
+                corr_mode='pallas', oracle=None):
     """One tracking/BA iteration over the (padded) active edge table.
 
     edge_table: (9, E) int32 rows [ii, jj, kk, kk_slot, jj_slot, ix, jx,
     kk_ids, pair_ids]; mask (E,) bool. Returns (net, poses, depth, target,
     weight, delta).
+
+    oracle: optional static callable (poses, patch_xy, depth, intrinsics,
+    ii, jj, kk) -> (target (E,2), weight (E,2)) replacing the learned
+    corr+update path — used by accuracy tests to drive the *real* runtime
+    (windows, keyframing, BA, termination) toward a known ground-truth
+    trajectory without a trained checkpoint.
     """
     ii, jj, kk, kk_slot, jj_slot, ix, jx, kk_ids, pair_ids = edge_table
 
     coords = _reproject(poses, patch_xy, depth, intrinsics, ii, jj, kk)
 
+    if oracle is not None:
+        center = coords[:, P // 2, P // 2, :]
+        tgt, wgt = oracle(poses, patch_xy, depth, intrinsics, ii, jj, kk)
+        target = jnp.where(mask[:, None], tgt, center)
+        weight = jnp.where(mask[:, None], wgt, 0.0)
+        delta = target - center
+        if run_ba:
+            xy_center = patch_xy[:, :, P // 2, P // 2]
+            poses, depth = ba_mod.bundle_adjust(
+                poses, xy_center, depth, intrinsics[0], target, weight,
+                1e-4, ii, jj, kk, mask, t0, t1, patch_base,
+                W=W, PC=PC, iterations=iterations)
+        return net, poses, depth, target, weight, delta
+
     gmap_flat = gmap_buf                                  # (pmem*M, P, P, 128)
-    if corr_mode == 'mxu':
+    if corr_mode == 'fused':
+        from ..ops.corr_fused import corr_fused
+        c1, c2 = corr_fused(gmap_flat, fmap1_buf, fmap2_buf, coords,
+                            kk_slot, jj_slot)
+    elif corr_mode == 'mxu':
         from ..ops.corr_mxu import corr_mxu
         c1 = corr_mxu(gmap_flat, fmap1_buf, coords, kk_slot, jj_slot)
         c2 = corr_mxu(gmap_flat, fmap2_buf, coords / 4.0, kk_slot, jj_slot)
@@ -258,7 +282,8 @@ def _shift_frames_impl(poses, patch_xy, depth, intrinsics, imap_buf, gmap_buf,
 
 @partial(jax.jit,
          static_argnames=('W', 'PC', 'iterations', 'run_ba', 'do_update',
-                          'mixed_precision', 'M', 'pmem', 'mem', 'corr_mode'),
+                          'mixed_precision', 'M', 'pmem', 'mem', 'corr_mode',
+                          'oracle'),
          donate_argnames=('poses', 'patch_xy', 'depth', 'intrinsics',
                           'imap_buf', 'gmap_buf', 'fmap1_buf', 'fmap2_buf',
                           'net', 'target_buf', 'weight_buf'))
@@ -269,7 +294,8 @@ def frame_step(params, poses, patch_xy, depth, intrinsics,
                pose_init, intr_row, depth_init,
                n, imap_slot, fmap_slot, t0, patch_base, kf_k,
                *, W, PC, iterations=2, run_ba=True, do_update=True,
-               mixed_precision=True, M, pmem, mem, corr_mode='grouped'):
+               mixed_precision=True, M, pmem, mem, corr_mode='grouped',
+               oracle=None):
     """ONE dispatch per tracked frame (tunnel-latency optimization).
 
     Fuses, in order: (a) the previous frame's keyframe-removal buffer shift
@@ -326,12 +352,31 @@ def frame_step(params, poses, patch_xy, depth, intrinsics,
 
     # (d) update + BA
     delta = jnp.zeros((edge_table.shape[1], 2), jnp.float32)
-    if do_update:
+    if do_update and oracle is not None:
+        (ii, jj, kk, kk_slot, jj_slot, ix, jx, kk_ids,
+         pair_ids) = edge_table[:9]
+        coords_r = _reproject(poses, patch_xy, depth, intrinsics, ii, jj, kk)
+        center = coords_r[:, P // 2, P // 2, :]
+        tgt, wgt = oracle(poses, patch_xy, depth, intrinsics, ii, jj, kk)
+        target_buf = jnp.where(mask[:, None], tgt, center)
+        weight_buf = jnp.where(mask[:, None], wgt, 0.0)
+        delta = target_buf - center
+        if run_ba:
+            xy_center = patch_xy[:, :, P // 2, P // 2]
+            poses, depth = ba_mod.bundle_adjust(
+                poses, xy_center, depth, intrinsics[0], target_buf,
+                weight_buf, 1e-4, ii, jj, kk, mask, t0, n + 1, patch_base,
+                W=W, PC=PC, iterations=iterations)
+    elif do_update:
         (ii, jj, kk, kk_slot, jj_slot, ix, jx, kk_ids,
          pair_ids) = edge_table[:9]
         coords_r = _reproject(poses, patch_xy, depth, intrinsics, ii, jj, kk)
 
-        if corr_mode == 'mxu':
+        if corr_mode == 'fused':
+            from ..ops.corr_fused import corr_fused
+            c1, c2 = corr_fused(gmap_buf, fmap1_buf, fmap2_buf, coords_r,
+                                kk_slot, jj_slot)
+        elif corr_mode == 'mxu':
             from ..ops.corr_mxu import corr_mxu
             c1 = corr_mxu(gmap_buf, fmap1_buf, coords_r, kk_slot, jj_slot)
             c2 = corr_mxu(gmap_buf, fmap2_buf, coords_r / 4.0, kk_slot,

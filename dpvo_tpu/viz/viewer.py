@@ -53,6 +53,21 @@ class Viewer:
         except queue.Full:
             pass
 
+    def update_state(self, poses_wfc, points, colors):
+        """Push a full SLAM-state snapshot for 3D rendering.
+
+        poses_wfc: (N, 7) world-from-camera [x y z qx qy qz qw]
+        points:    (K, 3) world points;  colors: (K, 3) RGB [0, 255]
+        Renders camera frusta + trajectory + point cloud (the reference
+        viewer's content, DPViewer/dpviewer/viewer.cpp:104-218).
+        """
+        try:
+            self.q.put_nowait(('state', (np.asarray(poses_wfc, np.float32),
+                                         np.asarray(points, np.float32),
+                                         np.asarray(colors, np.float32))))
+        except queue.Full:
+            pass
+
     def join(self):
         # drain pending frames before stopping the render thread
         import time
@@ -85,7 +100,63 @@ class Viewer:
                 points, colors = payload
                 if not self.live:
                     self._save_cloud(points, colors)
+            elif kind == 'state':
+                self._render_3d(*payload)
 
     def _save_cloud(self, points, colors):
         from ..plot_utils import save_ply
         save_ply(str(self.outdir / 'cloud.ply'), points, colors)
+
+    # ------------------------------------------------------------------ #
+    # 3D rendering (frusta + cloud), matplotlib backend
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def _frustum(pose_wfc, scale=0.15):
+        """Camera frustum polyline (5 corners + apex) in world coords."""
+        from ..runtime import numpy_se3 as nse3
+        w, h, z = 0.8 * scale, 0.5 * scale, 1.0 * scale
+        corners = np.array([[0, 0, 0], [-w, -h, z], [w, -h, z],
+                            [0, 0, 0], [-w, h, z], [w, h, z],
+                            [0, 0, 0], [w, -h, z], [w, h, z],
+                            [0, 0, 0], [-w, -h, z], [-w, h, z]], np.float32)
+        return nse3.act(pose_wfc[None], corners)
+
+    def _render_3d(self, poses_wfc, points, colors):
+        import matplotlib
+        if not self.live:
+            matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+
+        if not hasattr(self, '_fig3d'):
+            self._fig3d = plt.figure(figsize=(7, 7))
+            self._ax3d = self._fig3d.add_subplot(111, projection='3d')
+            self._n3d = 0
+        ax = self._ax3d
+        ax.cla()
+
+        if len(points):
+            keep = np.isfinite(points).all(axis=1)
+            pts, clr = points[keep], colors[keep]
+            if len(pts) > 20000:
+                sel = np.random.default_rng(0).choice(len(pts), 20000,
+                                                      replace=False)
+                pts, clr = pts[sel], clr[sel]
+            ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=0.5,
+                       c=np.clip(clr / 255.0, 0, 1))
+        traj = poses_wfc[:, :3]
+        ax.plot(traj[:, 0], traj[:, 1], traj[:, 2], 'b-', linewidth=1)
+        scale = max(float(np.ptp(traj, axis=0).max()), 1e-3) * 0.05
+        for p in poses_wfc[::max(1, len(poses_wfc) // 40)]:
+            f = self._frustum(p, scale)
+            ax.plot(f[:, 0], f[:, 1], f[:, 2], 'r-', linewidth=0.6)
+        ax.set_box_aspect((1, 1, 1))
+        ax.set_title(f'{len(poses_wfc)} keyframes')
+
+        if self.live:
+            plt.pause(0.001)
+        else:
+            self.outdir.mkdir(parents=True, exist_ok=True)
+            self._fig3d.savefig(self.outdir / f'traj3d_{self._n3d:06d}.png',
+                                dpi=80)
+        self._n3d += 1

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dpvo_tpu import ba, lie
 
@@ -71,6 +72,7 @@ def residual_rms(p, poses, depth):
     return float(np.sqrt(((pred - p['target']) ** 2).mean()))
 
 
+@pytest.mark.slow
 def test_linearize_matches_autodiff():
     p = make_problem(n_frames=4, M=3)
     poses = jnp.asarray(p['poses0'])

@@ -2,6 +2,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # jit-heavy integration (see pytest.ini)
+
 torch = pytest.importorskip('torch')
 
 from dpvo_tpu.config import cfg as default_cfg

@@ -11,6 +11,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # jit-heavy integration (see pytest.ini)
+
 from dpvo_tpu.config import cfg as default_cfg
 from dpvo_tpu.runtime import HybridVO
 

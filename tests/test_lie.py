@@ -29,6 +29,9 @@ GROUPS = {
     'sim3': dict(dim=7, exp=lie.sim3_exp, log=lie.sim3_log, inv=lie.sim3_inv,
                  mul=lie.sim3_mul, act=lie.sim3_act, matrix=lie.sim3_matrix,
                  identity_w=6),
+    'rxso3': dict(dim=4, exp=lie.rxso3_exp, log=lie.rxso3_log,
+                  inv=lie.rxso3_inv, mul=lie.rxso3_mul, act=lie.rxso3_act,
+                  matrix=lie.rxso3_matrix, identity_w=3),
 }
 
 
@@ -126,7 +129,39 @@ def test_sim3_scale_composition():
                                np.asarray(a[..., 7] * b[..., 7]), rtol=1e-5)
 
 
-@pytest.mark.parametrize('name,scale', [('so3', 0.5), ('se3', 0.5), ('sim3', 0.4)])
+def test_rxso3_adjT_definition():
+    """<Ad^T X, xi> == <X, Ad xi> for RxSO3 (run_tests.py adjoint identity)."""
+    G = lie.rxso3_exp(rand_tangent(4, n=1, scale=0.5))
+    X = rand_tangent(4, n=16)
+    v = rand_tangent(4, n=16)
+    lhs = jnp.sum(lie.rxso3_adjT(G, X) * v, axis=-1)
+    rhs = jnp.sum(X * lie.rxso3_adj(G, v), axis=-1)
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-4)
+
+
+def test_rxso3_adj_via_conjugation():
+    """exp(Ad_G xi) == G exp(xi) G^-1 for RxSO3."""
+    G = lie.rxso3_exp(rand_tangent(4, n=1, scale=0.4))
+    xi = rand_tangent(4, n=8, scale=0.3)
+    lhs = lie.rxso3_exp(lie.rxso3_adj(G, xi))
+    rhs = lie.rxso3_mul(lie.rxso3_mul(G, lie.rxso3_exp(xi)),
+                        lie.rxso3_inv(G))
+    np.testing.assert_allclose(np.asarray(lie.rxso3_log(lhs)),
+                               np.asarray(lie.rxso3_log(rhs)), atol=1e-4)
+
+
+def test_rxso3_act4_matches_act():
+    G = lie.rxso3_exp(rand_tangent(4, n=8, scale=0.5))
+    p = jnp.asarray(RNG.randn(8, 3).astype(np.float32))
+    p4 = jnp.concatenate([p, jnp.ones((8, 1))], axis=-1)
+    y4 = lie.rxso3_act4(G, p4)
+    np.testing.assert_allclose(np.asarray(y4[..., :3]),
+                               np.asarray(lie.rxso3_act(G, p)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y4[..., 3]), 1.0, atol=0)
+
+
+@pytest.mark.parametrize('name,scale', [('so3', 0.5), ('se3', 0.5), ('sim3', 0.4),
+                                        ('rxso3', 0.5)])
 def test_exp_gradcheck(name, scale):
     """Numerical vs autodiff Jacobian of exp (analog of run_tests.py:253-300)."""
     g = GROUPS[name]
@@ -146,7 +181,8 @@ def test_exp_gradcheck(name, scale):
     np.testing.assert_allclose(J_auto, J_num, atol=2e-3)
 
 
-@pytest.mark.parametrize('name,scale', [('so3', 0.5), ('se3', 0.5), ('sim3', 0.3)])
+@pytest.mark.parametrize('name,scale', [('so3', 0.5), ('se3', 0.5), ('sim3', 0.3),
+                                        ('rxso3', 0.5)])
 def test_log_gradcheck(name, scale):
     g = GROUPS[name]
     xi = np.asarray(rand_tangent(g['dim'], n=1, scale=scale))[0]

@@ -3,6 +3,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # jit-heavy integration (see pytest.ini)
+
 from dpvo_tpu.config import cfg as default_cfg
 from dpvo_tpu.models.vonet import VONetParams, init_vonet_params
 from dpvo_tpu.parallel.streams import MultiStreamVO

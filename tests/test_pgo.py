@@ -1,11 +1,13 @@
 """Sim3 pose-graph optimization: loop constraint corrects drifted chain."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from dpvo_tpu import lie
 from dpvo_tpu.loop_closure import pgo
 
 
+@pytest.mark.slow
 def test_pgo_closes_loop():
     """Odometry chain with injected drift + a perfect loop constraint: PGO
     should distribute the correction so endpoints coincide."""

@@ -140,6 +140,9 @@ def test_fused_step_updates_newest_pose():
     H, W, _ = frames[0].shape
     intr = np.array([80.0, 80.0, W / 2, H / 2], np.float32)
     slam = HybridVO(c, None, ht=H, wd=W, seed=0)
+    # random weights never pass the learned motion probe; force init so the
+    # steady-state BA path actually runs (same trick as bench.py)
+    slam.motion_probe = lambda: 100.0
 
     moved = 0
     checked = 0

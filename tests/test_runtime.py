@@ -7,6 +7,8 @@ Random network weights — this checks mechanics, not tracking accuracy.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # jit-heavy integration (see pytest.ini)
+
 from dpvo_tpu.config import cfg as default_cfg
 from dpvo_tpu.runtime import DPVO
 

@@ -9,6 +9,8 @@ path does some decision math on the host in float64.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # jit-heavy integration (see pytest.ini)
+
 from dpvo_tpu.config import cfg as default_cfg
 from dpvo_tpu.runtime import HybridVO
 from dpvo_tpu.runtime.device_driver import DeviceVO
