@@ -54,11 +54,29 @@ def run_mode(cfg, args, H, W, frames, intr, label):
         if args.no_keyframe_removal:
             slam.motionmag = lambda i, j: 100.0
 
-    # warmup: compile + reach steady state
+    chunk = args.chunk if hasattr(slam, 'track_frames') else 1
+
+    def feed(t, count):
+        if chunk > 1:
+            while count > 0:
+                k = min(chunk, count)
+                slam.track_frames(list(range(t, t + k)),
+                                  np.stack(frames[t:t + k]), intr)
+                t += k
+                count -= k
+        else:
+            for _ in range(count):
+                slam(t, frames[t], intr)
+                t += 1
+        return t
+
+    # warmup: compile + reach steady state (per-frame first: the scan path
+    # needs an initialized state machine before chunking makes sense)
     t = 0
-    for _ in range(args.warmup):
+    for _ in range(min(args.warmup, 12)):
         slam(t, frames[t], intr)
         t += 1
+    t = feed(t, args.warmup - min(args.warmup, 12))
     force_completion(slam)
 
     seg_fps = []
@@ -68,9 +86,7 @@ def run_mode(cfg, args, H, W, frames, intr, label):
             prof_ctx = jax.profiler.trace('/tmp/dpvo_tpu_profile')
             prof_ctx.__enter__()
         t0 = time.perf_counter()
-        for _ in range(args.seg_frames):
-            slam(t, frames[t], intr)
-            t += 1
+        t = feed(t, args.seg_frames)
         force_completion(slam)
         seg_fps.append(args.seg_frames / (time.perf_counter() - t0))
     if prof_ctx is not None:
@@ -79,6 +95,39 @@ def run_mode(cfg, args, H, W, frames, intr, label):
     fps = float(np.median(seg_fps))
     spread = float(np.max(seg_fps) - np.min(seg_fps))
     return fps, spread, seg_fps
+
+
+V5E_PEAK_BF16 = 197e12          # TFLOP/s, single v5e chip
+
+
+def flops_per_frame(cfg, H, W):
+    """Analytic per-frame FLOP count (matmul/conv MACs x2) for MFU.
+
+    Counts the steady-state compute: 2 encoders, both-level correlation
+    planes over the live edge set, the update operator's matmuls, and 2 GN
+    BA iterations. Elementwise work is excluded (MFU convention).
+    """
+    from dpvo_tpu.runtime.device_vo import _gp_cap
+    from dpvo_tpu.ops.corr_fused import WX, WY
+
+    M = cfg.PATCHES_PER_FRAME
+    E = _gp_cap(cfg) * M
+    H4, W4 = H // 4, W // 4
+    DIM, C, P2 = 384, 128, 9
+
+    # encoders (BasicEncoder4 x2): conv MACs at each stage
+    def enc(out_ch):
+        m = (H // 2) * (W // 2) * 32 * 3 * 49              # 7x7 s2
+        m += 4 * (H // 2) * (W // 2) * 32 * 32 * 9         # layer1
+        m += 4 * H4 * W4 * 64 * 64 * 9 + H4 * W4 * 64 * 32  # layer2 + down
+        m += H4 * W4 * 64 * out_ch                          # 1x1
+        return m
+
+    conv = enc(128) + enc(DIM)
+    corr = E * P2 * (2 * WY * WX) * C                       # both levels
+    upd = E * DIM * DIM * 14 + E * (2 * 49 * P2) * DIM      # GRU+corr MLP
+    ba = 2 * E * (2 * 6 * 6 * 4 + 2 * 6)                    # JtWJ blocks
+    return 2.0 * (conv + corr + upd + ba)
 
 
 def main():
@@ -92,6 +141,8 @@ def main():
     ap.add_argument('--profile', action='store_true')
     ap.add_argument('--network', default=None)
     ap.add_argument('--no-keyframe-removal', action='store_true')
+    ap.add_argument('--chunk', type=int, default=1,
+                    help='frames per dispatch (lax.scan throughput mode)')
     ap.add_argument('--slam-modes', action='store_true',
                     help='also measure LOOP_CLOSURE / CLASSIC_LOOP_CLOSURE')
     ap.add_argument('--opts', nargs='+', default=[])
@@ -123,6 +174,7 @@ def main():
             except Exception as e:
                 extra[name] = f'error: {e}'
 
+    flops = flops_per_frame(cfg, H, W)
     print(json.dumps({
         'metric': f'vo_fps_{W}x{H}_default',
         'value': round(fps, 2),
@@ -130,6 +182,9 @@ def main():
         'vs_baseline': round(fps / baseline, 3),
         'fps_segments': [round(f, 2) for f in segs],
         'fps_spread': round(spread, 2),
+        'tflops_per_frame': round(flops / 1e12, 4),
+        'achieved_tflops': round(flops * fps / 1e12, 2),
+        'mfu_pct': round(100.0 * flops * fps / V5E_PEAK_BF16, 2),
         **extra,
     }))
 

@@ -1,7 +1,12 @@
 """Run VO/SLAM on an image directory or video (reference demo.py parity)."""
 import argparse
 import os
-from multiprocessing import Process, Queue
+import multiprocessing as _mp
+
+# spawn, not fork: jax is multithreaded by the time readers start
+# (reference sets spawn globally, dpvo/dpvo.py:13)
+_ctx = _mp.get_context('spawn')
+Process, Queue = _ctx.Process, _ctx.Queue
 from pathlib import Path
 
 import numpy as np

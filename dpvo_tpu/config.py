@@ -75,4 +75,7 @@ cfg = CfgNode(
     CLASSIC_LOOP_CLOSURE=False,
     LOOP_CLOSE_WINDOW_SIZE=3,
     LOOP_RETR_THRESH=0.04,
+    # min keyframe-index distance for retrieval candidates (the reference
+    # hardcodes rad=50 in its DPRetrieval binding, DPRetrieval/src/main.cpp)
+    LOOP_RETR_RAD=50,
 )

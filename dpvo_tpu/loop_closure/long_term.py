@@ -16,6 +16,7 @@ Substitutions vs the reference (documented divergences):
 from __future__ import annotations
 
 import multiprocessing as mp
+import os
 
 import cv2
 import numpy as np
@@ -37,7 +38,7 @@ class LongTermLoopClosure:
         self.cfg = cfg
         self.slam = slam
 
-        self.retrieval = RetrievalDBOW()
+        self.retrieval = RetrievalDBOW(rad=getattr(cfg, 'LOOP_RETR_RAD', 50))
         self.imcache = ImageCache()
 
         ctx = mp.get_context('spawn')
@@ -205,6 +206,13 @@ class LongTermLoopClosure:
         if r is None or num_inliers < MIN_NUM_INLIERS:
             return False
 
+        if os.environ.get('DPVO_LC_DEBUG'):
+            import scipy.spatial.transform as sst
+            ang = np.linalg.norm(sst.Rotation.from_matrix(r).as_rotvec())
+            print(f'[LC] i={i} j={j} inliers={num_inliers}/{len(i_pts)} '
+                  f's={s:.4f} |t|={np.linalg.norm(t):.4f} ang={ang:.4f}',
+                  flush=True)
+
         # previous loop constraints from the current estimate
         far_rel_pose = make_sim3(r, t, s)[None]
         slam = self.slam
@@ -257,10 +265,20 @@ class LongTermLoopClosure:
         if skip_if_empty and self.result_queue.empty():
             return
         self.lc_in_progress = False
-        final_est = self.result_queue.get()      # (safe_i, 8) Sim3 w2c
+        # (safe_i, 8) optimized Sim3 CAMERA-TO-WORLD (the PGO works on
+        # inverted poses); invert back before storing into the w2c buffers
+        # (reference long_term.py:200: poses_[:safe_i] = SE3(res).inv())
+        final_est = self.result_queue.get()
         safe_i = final_est.shape[0]
-        res = final_est[:, :7]
+        res = nse3.inv(final_est[:, :7])
         s = final_est[:, 7]
+
+        if os.environ.get('DPVO_LC_DEBUG'):
+            dp = np.linalg.norm(
+                res[:, :3] - self.slam.poses_np[:safe_i, :3], axis=1)
+            print(f'[LC] apply: safe_i={safe_i} max|dt|={dp.max():.4f} '
+                  f'mean|dt|={dp.mean():.4f} s_range=({s.min():.4f},'
+                  f'{s.max():.4f})', flush=True)
 
         slam = self.slam
         s1 = np.ones(slam.n, np.float32)

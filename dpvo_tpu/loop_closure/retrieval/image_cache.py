@@ -7,8 +7,8 @@ keypoint extraction; indices follow keyframe compaction.
 """
 from __future__ import annotations
 
+import multiprocessing as mp
 import os
-from multiprocessing import Pool
 from tempfile import TemporaryDirectory
 
 import cv2
@@ -25,7 +25,10 @@ class ImageCache:
         self.image_buffer = {}
         self.tmpdir = TemporaryDirectory()
         self.stored_indices = np.zeros(100000, dtype=bool)
-        self.writer_pool = Pool(processes=1)
+        # spawn, not fork: the parent is JAX-multithreaded, and forking a
+        # threaded process can deadlock the child (reference uses a plain
+        # fork Pool under torch, image_cache.py:21)
+        self.writer_pool = mp.get_context('spawn').Pool(processes=1)
         self.write_result = self.writer_pool.apply_async(
             cv2.imwrite, [f'{self.tmpdir.name}/warmup.png', BLANK,
                           JPEG_QUALITY])

@@ -14,7 +14,13 @@ from __future__ import annotations
 import ctypes
 import os
 import time
-from multiprocessing import Process, Queue, Value
+import multiprocessing as _mp
+
+# spawn, not fork: the parent is JAX-multithreaded and fork can deadlock
+# the child (the reference relies on mp.set_start_method('spawn'),
+# dpvo/dpvo.py:13 — we scope it to this module instead of globally)
+_ctx = _mp.get_context('spawn')
+Process, Queue, Value = _ctx.Process, _ctx.Queue, _ctx.Value
 
 import numpy as np
 
@@ -109,6 +115,11 @@ class RetrievalDBOW:
 
         self.in_queue = Queue(maxsize=20)
         self.out_queue = Queue(maxsize=20)
+        # never block interpreter exit on the queue feeder threads: if the
+        # worker died (or a test failed mid-run), unsent items would hang
+        # mp.util._exit_function joining the feeder forever
+        self.in_queue.cancel_join_thread()
+        self.out_queue.cancel_join_thread()
         ready = Value('i', 0)
         self.proc = Process(target=_retrieval_loop,
                             args=(self.in_queue, self.out_queue, rad, ready),
@@ -195,3 +206,5 @@ class RetrievalDBOW:
     def close(self):
         self.proc.terminate()
         self.proc.join()
+        self.in_queue.close()
+        self.out_queue.close()

@@ -112,7 +112,8 @@ def image_gradient_scores(image, coords):
 # ---------------------------------------------------------------------------
 
 def update_op(params, net, inp, corr_feat, ix, jx, kk_ids, pair_ids,
-              num_segments, edge_mask, mixed_precision=True):
+              num_segments, edge_mask, mixed_precision=True,
+              num_segments_kk=None, num_segments_ij=None):
     """One recurrent update over all active edges.
 
     net:       (E, DIM) hidden state
@@ -123,9 +124,17 @@ def update_op(params, net, inp, corr_feat, ix, jx, kk_ids, pair_ids,
     kk_ids:    (E,) dense group ids by patch (agg_kk)
     pair_ids:  (E,) dense group ids by frame pair ii*C+jj (agg_ij)
     edge_mask: (E,) bool valid-edge mask (padding rows False)
+    num_segments_kk/ij: static bounds on the two aggs' group counts; pass
+               tight bounds (live patches / live pairs) — the h-projection
+               GEMM and scatter outputs are sized by them, and the default
+               E is ~14-100x larger than the true group counts.
 
     returns (net', delta (E,2) f32, weight (E,2) f32)
     """
+    if num_segments_kk is None:
+        num_segments_kk = num_segments
+    if num_segments_ij is None:
+        num_segments_ij = num_segments
     dtype = jnp.bfloat16 if mixed_precision else jnp.float32
     p = params.bf16 if mixed_precision else params.f32
     net = net.astype(dtype)
@@ -146,9 +155,9 @@ def update_op(params, net, inp, corr_feat, ix, jx, kk_ids, pair_ids,
     net = net + mlp2(p, 'update.c2.0', 'update.c2.2',
                      mask_jx * net[jnp.maximum(jx, 0)])
 
-    net = net + soft_agg(p, 'update.agg_kk', net, kk_ids, num_segments,
+    net = net + soft_agg(p, 'update.agg_kk', net, kk_ids, num_segments_kk,
                          mask=edge_mask)
-    net = net + soft_agg(p, 'update.agg_ij', net, pair_ids, num_segments,
+    net = net + soft_agg(p, 'update.agg_ij', net, pair_ids, num_segments_ij,
                          mask=edge_mask)
 
     net = layer_norm(p, 'update.gru.0', net)

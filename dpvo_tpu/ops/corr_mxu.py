@@ -74,7 +74,7 @@ def _extract_windows_pallas(fmap, jslot, by, bx):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(E,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, WY, WX, C), lambda e, *_: (e, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[

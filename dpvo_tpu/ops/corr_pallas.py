@@ -108,7 +108,7 @@ def _corr_raw(gmap_g, fmap, jslot, y0, x0, off, interpret=False):
         in_specs=[
             pl.BlockSpec((1, P2, C), lambda e, *_: (e, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, P2, D, D), lambda e, *_: (e, 0, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -82,16 +82,17 @@ class DeviceVO:
 
         self.tlist.append(tstamp)
         h4, w4 = self.ht // RES, self.wd // RES
-        x = self.rng.randint(1, w4 - 1, self.M)
-        y = self.rng.randint(1, h4 - 1, self.M)
-        coords = np.stack([x, y], -1).astype(np.float32)
-        depth_seed = self.rng.rand(self.M).astype(np.float32)
+        aux = np.empty((self.M, 4), np.float32)
+        aux[:, 0] = self.rng.randint(1, w4 - 1, self.M)
+        aux[:, 1] = self.rng.randint(1, h4 - 1, self.M)
+        aux[:, 2] = self.rng.rand(self.M)
+        aux[:, 3] = tstamp
 
-        self.st = vo_frame(
+        from .device_vo import vo_frame_packed
+        self.st = vo_frame_packed(
             self.params, self.st,
             jnp.asarray(np.ascontiguousarray(image)),
-            jnp.asarray(coords), jnp.asarray(depth_seed),
-            jnp.float32(tstamp), **self._static)
+            jnp.asarray(aux), **self._static)
 
         if self.viewer is not None:
             self.viewer.update_image(image)
@@ -99,6 +100,42 @@ class DeviceVO:
             # viz mode trades FPS for the live view, like --viz upstream
             if len(self.tlist) % 10 == 0:
                 self._push_viewer_state()
+
+    def track_frames(self, tstamps, images, intrinsics):
+        """Track a chunk of frames in ONE dispatch (device_vo.vo_frames).
+
+        Throughput mode for offline evaluation / benchmarking: identical
+        math to per-frame __call__, with the host/tunnel dispatch cost
+        amortized over the chunk. images: (K, H, W, 3) uint8."""
+        from .device_vo import CNT_CAP
+        K = len(images)
+        if self.st is None:
+            self.st = init_state(self.cfg, self.ht, self.wd, intrinsics)
+        if len(self.tlist) + K >= CNT_CAP:
+            raise Exception('input frame capacity exceeded; raise '
+                            'device_vo.CNT_CAP')
+        self._since_check += K
+        if self._last_n + self._since_check + 2 >= self.cfg.BUFFER_SIZE:
+            self._last_n = int(self.st.n)
+            self._since_check = 0
+            if self._last_n + K + 2 >= self.cfg.BUFFER_SIZE:
+                raise Exception(
+                    f'The buffer size is too small. You can increase it '
+                    f'using "--opts BUFFER_SIZE={self.cfg.BUFFER_SIZE * 2}"')
+
+        self.tlist.extend(tstamps)
+        h4, w4 = self.ht // RES, self.wd // RES
+        aux = np.empty((K, self.M, 4), np.float32)
+        aux[..., 0] = self.rng.randint(1, w4 - 1, (K, self.M))
+        aux[..., 1] = self.rng.randint(1, h4 - 1, (K, self.M))
+        aux[..., 2] = self.rng.rand(K, self.M)
+        aux[..., 3] = np.asarray(tstamps, np.float32)[:, None]
+
+        from .device_vo import vo_frames_packed
+        self.st = vo_frames_packed(
+            self.params, self.st,
+            jnp.asarray(np.ascontiguousarray(np.stack(images))),
+            jnp.asarray(aux), **self._static)
 
     def _push_viewer_state(self):
         n = int(self.st.n)

@@ -406,7 +406,11 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
         jx_e = jnp.where(jx_pair[:, None] >= 0,
                          jx_pair[:, None] * M + marange[None, :],
                          -1).reshape(GP * M)
-        kk_ids = ((st.pi % (GP))[:, None] * M + marange[None, :]
+        # patch groups keyed by source slot (mod pmem): live sources span
+        # < pmem frames (same aliasing argument as the gmap/imap ring), so
+        # the agg segment count drops from GP*M to pmem*M — 14x less
+        # h-GEMM/scatter work in soft_agg
+        kk_ids = ((st.pi % pmem)[:, None] * M + marange[None, :]
                   ).reshape(GP * M)
         pair_ids = jnp.repeat(jnp.arange(GP, dtype=jnp.int32), M)
         edge_mask = jnp.repeat(st.pvalid, M)
@@ -421,7 +425,8 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
             netf, delta, wgt = update_op(
                 params, netf, inp, corr_feat, ix_e, jx_e, kk_ids, pair_ids,
                 num_segments=GP * M, edge_mask=edge_mask,
-                mixed_precision=mixed_precision)
+                mixed_precision=mixed_precision,
+                num_segments_kk=pmem * M, num_segments_ij=GP)
             net = netf.reshape(GP, M, DIM)
             center = coords_r[:, :, P // 2, P // 2, :]
             target = center + delta.reshape(GP, M, 2)
@@ -497,7 +502,8 @@ def vo_refine(params, st, *, M, pmem, mem, W, PCF, opt_window,
     jx_e = jnp.where(jx_pair[:, None] >= 0,
                      jx_pair[:, None] * M + marange[None, :],
                      -1).reshape(GP * M)
-    kk_ids = ((st.pi % GP)[:, None] * M + marange[None, :]).reshape(GP * M)
+    # source slots alias safely mod pmem (see vo_frame) — tight agg bounds
+    kk_ids = ((st.pi % pmem)[:, None] * M + marange[None, :]).reshape(GP * M)
     pair_ids = jnp.repeat(jnp.arange(GP, dtype=jnp.int32), M)
     edge_mask = jnp.repeat(st.pvalid, M)
     t0 = jnp.maximum(n1 - opt_window, 1)
@@ -517,7 +523,8 @@ def vo_refine(params, st, *, M, pmem, mem, W, PCF, opt_window,
     netf = st.net.reshape(E, DIM)
     netf, delta, wgt = update_op(
         params, netf, inp, corr_feat, ix_e, jx_e, kk_ids, pair_ids,
-        num_segments=E, edge_mask=edge_mask, mixed_precision=mixed_precision)
+        num_segments=E, edge_mask=edge_mask, mixed_precision=mixed_precision,
+        num_segments_kk=pmem * M, num_segments_ij=GP)
     st.net = netf.reshape(GP, M, DIM)
     center = coords_r[:, :, P // 2, P // 2, :]
     st.target = center + delta.reshape(GP, M, 2)
@@ -527,4 +534,65 @@ def vo_refine(params, st, *, M, pmem, mem, W, PCF, opt_window,
         st.poses, st.centers, st.depth, st.intr, st.target, st.weight, 1e-4,
         st.pi, st.pj, st.pvalid, t0, n1, fbase,
         M=M, W=W, PCF=PCF, iterations=2)
+    return st
+
+
+@partial(jax.jit,
+         static_argnames=('M', 'pmem', 'mem', 'W', 'PCF', 'r', 'kf_index',
+                          'opt_window', 'removal_window', 'mixed_precision',
+                          'use_pallas', 'kf_thresh', 'motion_damping',
+                          'motion_model', 'force_accept'),
+         donate_argnames=('st',))
+def vo_frames(params, st, images, coords, depth_seeds, tstamps,
+              *, M, pmem, mem, W, PCF, r, kf_index, opt_window,
+              removal_window, kf_thresh, motion_damping, motion_model,
+              mixed_precision=True, use_pallas=True, force_accept=False):
+    """Track a CHUNK of K frames in ONE dispatch: lax.scan over vo_frame.
+
+    Identical math to K successive vo_frame dispatches (the whole SLAM state
+    machine is device-resident, so the scan body is the same traced
+    function); amortizes the host/tunnel per-dispatch latency over K frames.
+    Used by DeviceVO.track_frames / bench --chunk; latency grows to K frames,
+    so the per-frame path remains the default for live streaming.
+
+    images (K,H,W,3) u8; coords (K,M,2) f32; depth_seeds (K,M) f32;
+    tstamps (K,) f32.
+    """
+    kw = dict(M=M, pmem=pmem, mem=mem, W=W, PCF=PCF, r=r, kf_index=kf_index,
+              opt_window=opt_window, removal_window=removal_window,
+              kf_thresh=kf_thresh, motion_damping=motion_damping,
+              motion_model=motion_model, mixed_precision=mixed_precision,
+              use_pallas=use_pallas, force_accept=force_accept)
+
+    def body(carry, xs):
+        image, c, d, t = xs
+        return vo_frame(params, carry, image, c, d, t, **kw), None
+
+    st, _ = jax.lax.scan(body, st, (images, coords, depth_seeds, tstamps))
+    return st
+
+
+_PACK_STATICS = ('M', 'pmem', 'mem', 'W', 'PCF', 'r', 'kf_index',
+                 'opt_window', 'removal_window', 'mixed_precision',
+                 'use_pallas', 'kf_thresh', 'motion_damping',
+                 'motion_model', 'force_accept')
+
+
+@partial(jax.jit, static_argnames=_PACK_STATICS, donate_argnames=('st',))
+def vo_frame_packed(params, st, image, aux, **kw):
+    """vo_frame with coords/depth_seed/tstamp packed into one (M, 4) array
+    [x, y, seed, tstamp] — ONE host->device upload instead of three (each
+    device_put costs ~2 ms of host/tunnel overhead at 20+ FPS)."""
+    return vo_frame(params, st, image, aux[:, :2], aux[:, 2], aux[0, 3], **kw)
+
+
+@partial(jax.jit, static_argnames=_PACK_STATICS, donate_argnames=('st',))
+def vo_frames_packed(params, st, images, aux, **kw):
+    """Chunked vo_frames with packed per-frame aux (K, M, 4)."""
+    def body(carry, xs):
+        image, a = xs
+        return vo_frame(params, carry, image, a[:, :2], a[:, 2], a[0, 3],
+                        **kw), None
+
+    st, _ = jax.lax.scan(body, st, (images, aux))
     return st

@@ -102,6 +102,7 @@ class DPVO:
         self.w_inac = np.zeros((0, 2), np.float32)
 
         # deferred device operations (fused into the next frame_step)
+        self._deferred = None    # previous frame's (mirror, ns, t0, pb, aw)
         self._pending_kf_k = -1
         self._host_to_dev = np.zeros(0, np.int32)  # edge -> device net row
         self._use_pallas = jax.default_backend() in ('tpu', 'axon')
@@ -488,6 +489,7 @@ class DPVO:
             jnp.asarray(self.poses_np[:n]))
 
     def update(self):
+        self._drain()
         self._run_update(run_ba=True)
 
     def motion_probe(self):
@@ -578,6 +580,7 @@ class DPVO:
 
     def __call__(self, tstamp, image, intrinsics):
         """Track one frame. image: (H, W, 3) uint8 (BGR, like cv2)."""
+        self._drain()
         if self.cfg.CLASSIC_LOOP_CLOSURE and self.long_term_lc:
             self.long_term_lc(image, self.n)
 
@@ -626,9 +629,10 @@ class DPVO:
 
         if not self.is_initialized:
             # store-only step, then the learned motion probe
-            clr = self._fused_step(image_dev, coords, pose_init, depth_init,
-                                   ns, do_update=False, run_ba=False)
-            self._set_colors(ns, clr)
+            mirror, t0, pb, aw = self._fused_step(
+                image_dev, coords, pose_init, depth_init,
+                ns, do_update=False, run_ba=False)
+            self._apply_mirror(mirror, ns, t0, pb, aw)
             if ns > 0 and self.motion_probe() < 2.0:
                 self.delta[self.counter - 1] = (self.counter - 2,
                                                 nse3.identity())
@@ -661,23 +665,28 @@ class DPVO:
                       (self.ii < self.n - self.cfg.REMOVAL_WINDOW - 1).any()
                       and not self.ran_global_ba[self.n])
 
-        clr = self._fused_step(image_dev, coords, pose_init, depth_init,
-                               ns, do_update=True, run_ba=not use_global)
-        self._set_colors(ns, clr)
+        mirror, t0, pb, aw = self._fused_step(
+            image_dev, coords, pose_init, depth_init,
+            ns, do_update=True, run_ba=not use_global)
 
         if use_global:
+            # global BA syncs anyway: finish this frame's post-step inline
+            self._apply_mirror(mirror, ns, t0, pb, aw)
             self._run_global_ba()
             self.depth_np = np.array(self.depth_dev)
             self.poses_np = np.array(self.poses_dev)
-
-        self.keyframe()
-
-        if self.viewer is not None and self.n % 3 == 0:
-            self._push_viewer_state()
-
-        if self.cfg.CLASSIC_LOOP_CLOSURE and self.long_term_lc:
-            self.long_term_lc.attempt_loop_closure(self.n)
-            self.long_term_lc.lc_callback()
+            self.keyframe()
+            if self.viewer is not None and self.n % 3 == 0:
+                self._push_viewer_state()
+            if self.cfg.CLASSIC_LOOP_CLOSURE and self.long_term_lc:
+                self.long_term_lc.attempt_loop_closure(self.n)
+                self.long_term_lc.lc_callback()
+        else:
+            # steady state: defer the (single) mirror sync to the next
+            # frame's entry; start the D2H now so it overlaps host work
+            if hasattr(mirror, 'copy_to_host_async'):
+                mirror.copy_to_host_async()
+            self._deferred = (mirror, ns, t0, pb, aw)
 
     def _push_viewer_state(self):
         """3D snapshot from the host mirrors — no extra device traffic
@@ -727,7 +736,7 @@ class DPVO:
         (self.poses_dev, self.patch_xy, self.depth_dev, self.intr_dev,
          self.imap_dev, self.gmap_dev, self.fmap1_dev, self.fmap2_dev,
          self.net_dev, self.target_dev, self.weight_dev,
-         pose_win, depth_win, delta, clr) = frame_step(
+         mirror, delta) = frame_step(
             self.params, self.poses_dev, self.patch_xy, self.depth_dev,
             self.intr_dev, self.imap_dev, self.gmap_dev, self.fmap1_dev,
             self.fmap2_dev, self.net_dev, self.target_dev, self.weight_dev,
@@ -746,18 +755,44 @@ class DPVO:
         self._host_to_dev = pad_pos.astype(np.int32)
         self._ecap = cap
 
-        if do_update and run_ba:
-            # refresh host mirrors from the returned windows (slice starts
-            # clamped identically on device, see state.py frame_step)
-            ps = min(t0, self.N - (self.W_CAP + 2))
-            pw = np.asarray(pose_win)
-            hi = min(ps + self.W_CAP + 2, self.n)
-            self.poses_np[ps:hi] = pw[:hi - ps]
-            ds = min(patch_base, self.N * self.M - self.PC_CAP)
-            dw = np.asarray(depth_win)
-            self.depth_np[ds:ds + self.PC_CAP] = dw
+        return mirror, t0, patch_base, (do_update and run_ba)
 
-        return clr
+    def _apply_mirror(self, mirror, ns, t0, patch_base, apply_windows):
+        """Unpack the packed mirror vector (ONE D2H) into the host mirrors.
+
+        Slice starts are clamped identically on device (state.py frame_step),
+        so row 0 of each window corresponds to the host-computed start."""
+        m = np.asarray(mirror)
+        W2 = self.W_CAP + 2
+        if apply_windows:
+            ps = min(t0, self.N - W2)
+            hi = min(ps + W2, self.n)
+            self.poses_np[ps:hi] = m[:W2 * 7].reshape(W2, 7)[:hi - ps]
+            ds = min(patch_base, self.N * self.M - self.PC_CAP)
+            self.depth_np[ds:ds + self.PC_CAP] = m[W2 * 7:W2 * 7 + self.PC_CAP]
+        self._set_colors(ns, m[W2 * 7 + self.PC_CAP:].reshape(self.M, 3))
+
+    def _drain(self):
+        """Finish the previous frame's deferred post-step: materialize its
+        mirror fetch (overlapped with host work since dispatch via
+        copy_to_host_async) and run keyframing / viewer / classic-LC hooks.
+
+        Order-preserving: everything here still happens before the NEXT
+        frame's edge appends and dispatch, exactly as in the reference's
+        synchronous tail (dpvo.py:467-473) — only the host/device sync point
+        moves, hiding the tunnel's per-sync latency behind the host work of
+        the following frame."""
+        if self._deferred is None:
+            return
+        mirror, ns, t0, patch_base, apply_windows = self._deferred
+        self._deferred = None
+        self._apply_mirror(mirror, ns, t0, patch_base, apply_windows)
+        self.keyframe()
+        if self.viewer is not None and self.n % 3 == 0:
+            self._push_viewer_state()
+        if self.cfg.CLASSIC_LOOP_CLOSURE and self.long_term_lc:
+            self.long_term_lc.attempt_loop_closure(self.n)
+            self.long_term_lc.lc_callback()
 
     # ------------------------------------------------------------------ #
     # loop-closure proximity edges (reference patchgraph.py:56-82)
@@ -778,6 +813,7 @@ class DPVO:
         return nse3.mul(dP, self.get_pose(t0))
 
     def terminate(self):
+        self._drain()
         if self.cfg.CLASSIC_LOOP_CLOSURE and self.long_term_lc:
             self.long_term_lc.terminate(self.n)
 

@@ -421,13 +421,18 @@ def frame_step(params, poses, patch_xy, depth, intrinsics,
                 W=W, PC=PC, iterations=iterations)
 
     # small host mirrors; clamp slice starts exactly like the host does so
-    # row 0 of each window always corresponds to the host-computed start
+    # row 0 of each window always corresponds to the host-computed start.
+    # Packed into ONE flat vector so the host pays a single D2H round-trip
+    # per frame (the axon tunnel charges ~25-40 ms per pending-array sync).
     N = poses.shape[0]
     pose_start = jnp.minimum(t0, N - (W + 2))
     pose_win = jax.lax.dynamic_slice(poses, (pose_start, 0), (W + 2, 7))
     depth_start = jnp.minimum(patch_base, depth.shape[0] - PC)
     depth_win = jax.lax.dynamic_slice(depth, (depth_start,), (PC,))
+    mirror = jnp.concatenate([
+        pose_win.reshape(-1), depth_win,
+        feats['clr'].astype(jnp.float32).reshape(-1)])
 
     return (poses, patch_xy, depth, intrinsics, imap_buf, gmap_buf,
             fmap1_buf, fmap2_buf, net, target_buf, weight_buf,
-            pose_win, depth_win, delta, feats['clr'])
+            mirror, delta)

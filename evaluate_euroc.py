@@ -4,7 +4,12 @@ Protocol (BASELINE.md): stride 2, N trials with seed 1234+trial, per-scene
 median ATE RMSE after Sim3 alignment, AVG of medians.
 """
 import argparse
-from multiprocessing import Process, Queue
+import multiprocessing as _mp
+
+# spawn, not fork: jax is multithreaded by the time readers start
+# (reference sets spawn globally, dpvo/dpvo.py:13)
+_ctx = _mp.get_context('spawn')
+Process, Queue = _ctx.Process, _ctx.Queue
 from pathlib import Path
 
 import numpy as np

@@ -1,6 +1,11 @@
 """TUM-RGBD freiburg1 evaluation (reference evaluate_tum.py parity)."""
 import argparse
-from multiprocessing import Process, Queue
+import multiprocessing as _mp
+
+# spawn, not fork: jax is multithreaded by the time readers start
+# (reference sets spawn globally, dpvo/dpvo.py:13)
+_ctx = _mp.get_context('spawn')
+Process, Queue = _ctx.Process, _ctx.Queue
 from pathlib import Path
 
 import cv2

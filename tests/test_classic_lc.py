@@ -62,3 +62,98 @@ def test_classic_lc_pipeline():
     poses, tstamps = slam.terminate()
     assert poses.shape == (len(frames), 7)
     assert np.isfinite(poses).all()
+
+
+# --------------------------------------------------------------------------
+# an ACTUAL closed loop: oracle-tracked out-and-back over a textured plane
+# --------------------------------------------------------------------------
+
+def _render_plane_sequence(gt_cfw, H, W, intr, plane_z, seed=7):
+    """Render views of a textured world plane z=plane_z (inverse warp).
+
+    Revisited poses genuinely produce near-identical images, so retrieval,
+    ORB matching and triangulation run on real signal.
+    """
+    import jax.numpy as jnp
+    from dpvo_tpu import lie
+
+    rng = np.random.RandomState(seed)
+    T = 1024
+    tex = rng.randint(0, 255, (T // 8, T // 8)).astype(np.float32)
+    tex = np.kron(tex, np.ones((8, 8), np.float32))          # blocky corners
+    fx, fy, cx, cy = intr
+
+    u, v = np.meshgrid(np.arange(W, dtype=np.float32),
+                       np.arange(H, dtype=np.float32))
+    rays = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], -1)
+
+    frames = []
+    for P_cfw in gt_cfw:
+        wfc = np.asarray(lie.se3_inv(jnp.asarray(P_cfw)))
+        o = wfc[:3]
+        R = np.asarray(lie.quat_to_matrix(jnp.asarray(wfc[3:7])))
+        d = rays @ R.T
+        lam = (plane_z - o[2]) / d[..., 2]
+        Xw = o[None, None, :] + lam[..., None] * d
+        tx = np.mod(Xw[..., 0] * 160.0, T).astype(np.int64)
+        ty = np.mod(Xw[..., 1] * 160.0, T).astype(np.int64)
+        img = tex[ty % tex.shape[0], tx % tex.shape[1]]
+        frames.append(np.stack([img] * 3, -1).astype(np.uint8))
+    return frames
+
+
+@pytest.mark.skipif(not os.path.exists(_LIB),
+                    reason='native retrieval library not built')
+def test_classic_lc_closes_actual_loop():
+    """End-to-end closure: retrieval proposes the revisit pair, ORB+BA
+    triangulation recovers local 3D, RANSAC-Umeyama finds the Sim3, PGO runs
+    and the applied result keeps the trajectory consistent with GT
+    (reference long_term.py:70-138, 240-267; retrieval_dbow.py:79-114)."""
+    import jax.numpy as jnp
+    from dpvo_tpu import lie
+    from dpvo_tpu.evaluation import ate_rmse, poses_to_trajectory
+    from test_oracle_ate import PLANE_Z, make_oracle, _ConstDepthRng
+
+    N = 36
+    H, W = 128, 192
+    intr = np.array([160.0, 160.0, W / 2, H / 2], np.float32)
+
+    # out-and-back in x: frames k and N-1-k see the same view
+    gt = np.zeros((N, 7), np.float32)
+    for t in range(N):
+        x = 1.5 * np.sin(np.pi * t / (N - 1))
+        wfc = np.array([x, 0, 0, 0, 0, 0, 1], np.float32)
+        gt[t] = np.asarray(lie.se3_inv(jnp.asarray(wfc)))
+
+    frames = _render_plane_sequence(gt, H, W, intr, PLANE_Z)
+
+    c = default_cfg.clone()
+    c.PATCHES_PER_FRAME = 4
+    c.BUFFER_SIZE = 64
+    c.PATCH_LIFETIME = 5
+    c.REMOVAL_WINDOW = 10
+    c.OPTIMIZATION_WINDOW = 10
+    c.KEYFRAME_THRESH = -1.0
+    c.MIXED_PRECISION = False
+    c.CLASSIC_LOOP_CLOSURE = True
+    c.LOOP_RETR_RAD = 8
+    c.LOOP_CLOSE_WINDOW_SIZE = 2
+    c.LOOP_RETR_THRESH = 0.005
+
+    slam = HybridVO(c, None, ht=H, wd=W, seed=3)
+    assert slam.long_term_lc is not None
+    slam._oracle = make_oracle(gt)
+    slam.motion_probe = lambda: 100.0
+    slam.rng = _ConstDepthRng(slam.rng)
+
+    for t in range(N):
+        slam(t, frames[t], intr)
+    poses, tstamps = slam.terminate()
+
+    assert slam.long_term_lc.lc_count >= 1, 'no loop closure fired'
+
+    gt_wfc = np.asarray(lie.se3_inv(jnp.asarray(gt)))
+    err = ate_rmse(poses_to_trajectory(poses, tstamps),
+                   poses_to_trajectory(gt_wfc, np.arange(N)))
+    path = np.linalg.norm(np.diff(gt_wfc[:, :3], axis=0), axis=1).sum()
+    assert err < 0.05 * path, f'ATE {err:.4f} vs path {path:.3f}'
