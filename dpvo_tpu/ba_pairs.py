@@ -20,17 +20,31 @@ from . import lie
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
+def gather_rows(buf, idx):
+    """Row gather via one-hot matmul.
+
+    TPU gathers/vmapped dynamic_slices lower to SEQUENTIAL while-loops
+    (measured ~1.4 ms per 512-row gather in the frame step); a (GP, NF)
+    one-hot times (NF, K) runs on the MXU in microseconds. Exact for the
+    selection (one-hot rows pick a single source row; HIGHEST keeps f32
+    values at f32 precision)."""
+    NF = buf.shape[0]
+    flat = buf.reshape(NF, -1)
+    oh = (idx[:, None] == jnp.arange(NF, dtype=idx.dtype)[None, :]
+          ).astype(flat.dtype)
+    out = jnp.matmul(oh, flat, precision=_HIGHEST)
+    return out.reshape((idx.shape[0],) + buf.shape[1:])
+
+
 def pair_centers(centers, pi, M):
     """Gather per-pair patch-center blocks: (GP, M, 2)."""
-    def one(i):
-        return jax.lax.dynamic_slice(centers, (i * M, 0), (M, 2))
-    return jax.vmap(one)(jnp.maximum(pi, 0))
+    NF = centers.shape[0] // M
+    return gather_rows(centers.reshape(NF, M, 2), jnp.maximum(pi, 0))
 
 
 def pair_depth(depth, pi, M):
-    def one(i):
-        return jax.lax.dynamic_slice(depth, (i * M,), (M,))
-    return jax.vmap(one)(jnp.maximum(pi, 0))
+    NF = depth.shape[0] // M
+    return gather_rows(depth.reshape(NF, M), jnp.maximum(pi, 0))
 
 
 def _linearize_pairs(poses, centers, depth, intr, target, weight,
@@ -41,8 +55,8 @@ def _linearize_pairs(poses, centers, depth, intr, target, weight,
     Jz (GP, M, 2). Math identical to ba._linearize (ba_cuda.cu:232-376).
     """
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
-    Gi = poses[jnp.maximum(pi, 0)]
-    Gj = poses[jnp.maximum(pj, 0)]
+    Gi = gather_rows(poses, jnp.maximum(pi, 0))
+    Gj = gather_rows(poses, jnp.maximum(pj, 0))
     Gij = lie.se3_mul(Gj, lie.se3_inv(Gi))                # (GP, 7)
     tij = Gij[..., :3]
 

@@ -113,7 +113,8 @@ def image_gradient_scores(image, coords):
 
 def update_op(params, net, inp, corr_feat, ix, jx, kk_ids, pair_ids,
               num_segments, edge_mask, mixed_precision=True,
-              num_segments_kk=None, num_segments_ij=None):
+              num_segments_kk=None, num_segments_ij=None,
+              gather_pairs=None):
     """One recurrent update over all active edges.
 
     net:       (E, DIM) hidden state
@@ -150,10 +151,21 @@ def update_op(params, net, inp, corr_feat, ix, jx, kk_ids, pair_ids,
 
     mask_ix = ((ix >= 0) & edge_mask)[:, None].astype(dtype)
     mask_jx = ((jx >= 0) & edge_mask)[:, None].astype(dtype)
-    net = net + mlp2(p, 'update.c1.0', 'update.c1.2',
-                     mask_ix * net[jnp.maximum(ix, 0)])
-    net = net + mlp2(p, 'update.c2.0', 'update.c2.2',
-                     mask_jx * net[jnp.maximum(jx, 0)])
+    if gather_pairs is not None:
+        # pair-blocked edge tables (DeviceVO): the temporal neighbors of a
+        # pair's M edges are the neighbor PAIR's M edges in order, so the
+        # (E,)-row gather collapses to a (GP,)-row gather of contiguous
+        # (M*DIM)-sized rows — far friendlier to the TPU than 49k
+        # fine-grained row lookups
+        ix_pair, jx_pair, Mg = gather_pairs
+        netp = net.reshape(-1, Mg * net.shape[-1])
+        net_ix = netp[jnp.maximum(ix_pair, 0)].reshape(net.shape)
+        net_jx = netp[jnp.maximum(jx_pair, 0)].reshape(net.shape)
+    else:
+        net_ix = net[jnp.maximum(ix, 0)]
+        net_jx = net[jnp.maximum(jx, 0)]
+    net = net + mlp2(p, 'update.c1.0', 'update.c1.2', mask_ix * net_ix)
+    net = net + mlp2(p, 'update.c2.0', 'update.c2.2', mask_jx * net_jx)
 
     net = net + soft_agg(p, 'update.agg_kk', net, kk_ids, num_segments_kk,
                          mask=edge_mask)

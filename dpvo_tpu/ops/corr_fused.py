@@ -13,12 +13,17 @@ bottlenecks of corr_mxu on v5e:
     (edges must arrive grouped by target slot — the runtimes sort pairs by
     target, see device_vo), the gathered source patches, and the bf16
     correlation planes.
-  * window cost is MXU-ingest-bound (each window element pairs with only the
-    9 patch pixels), so the window is kept MINIMAL: (WY, WX) = (12, 16).
-    A 16-wide window only covers the 8 taps + alignment phase if the base is
-    4-aligned, but bf16 VMEM slicing wants 8-aligned starts — so the slab is
-    held TWICE, the second copy shifted by 4 px in x. Any 4-aligned base is
-    8-aligned in one of the two phase copies.
+  * bf16 VMEM slicing wants 8-aligned column starts, so the window is
+    (WY, WX) = (12, 24): 8 integer taps + up to 7 px of 8-alignment slack +
+    5 px of patch spread in x; 8 taps + 4 px spread in y (rows slice freely).
+  * the slabs are PADDED (TY rows top, TX cols left, margins bottom/right)
+    and the per-edge integer coords CLAMPED to [-7, dim+7] before the base
+    computation. Window bases then never clip against the image borders, so
+    the in-window tap offsets collapse to oy in [0,4], ox in [0,12] —
+    18 masked static shifts instead of 42, no plane padding, and the
+    VMEM scratch fits the 16 MB scoped budget at 640x480 (and KITTI-wide
+    1226px frames). Clamping is exact: whenever it binds, every tap of that
+    pixel is outside the image and the per-tap validity masks zero it anyway.
 
 Both pyramid levels run in one kernel pass (they share the source patches).
 Tap selection + bilinear + border masking stay outside as masked static
@@ -27,9 +32,8 @@ matmuls and dynamic gathers don't vectorize on TPU).
 
 Exactness: identical to ops/corr.py at image borders (including negative
 predicted coords) as long as the patch's projected 3x3 spread stays within
-the window budget — y spread <= WY-8 = 4 px, x spread <= WX-8-phase = 5 px
-at the 1/4-res feature scale. Overflow taps are zeroed (degenerate
-geometry; corr_mxu's policy, with a tighter budget).
+the window budget — y spread <= 4 px, x spread <= 5 px at the feature
+scale. Overflow taps are zeroed (degenerate geometry; corr_mxu's policy).
 """
 from __future__ import annotations
 
@@ -41,26 +45,38 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WY = 12     # window rows: 8 taps + 4 rows of patch spread (y start is free)
-WX = 16     # window cols: 8 taps + up to 3 px phase + 5 cols of spread
+WY = 12     # window rows: 8 taps + 4 rows of patch spread
+WX = 24     # window cols: 8 taps + 7 px alignment slack + 5 cols of spread
 EB = 32     # edges per grid step
+TY = 10     # slab top pad: clamped base min = min(yi)-3 >= -10
+TX = 16     # slab left pad (multiple of 8): 8-aligned base >= -16
+D_MIN = 16  # below this feature-map size, fall back to the XLA path
+
+
+def pad_hw(H, W):
+    """Padded slab dims for an (H, W) feature level."""
+    return H + TY + WY + 4, int(-(-(W + TX + WX + 4) // 8) * 8)
+
+
+def pad_slab(f):
+    """(F, H, W, C) -> (F, Hp, Wp, C): image pixel (y, x) at (y+TY, x+TX)."""
+    F, H, W, C = f.shape
+    Hp, Wp = pad_hw(H, W)
+    return jnp.pad(f, ((0, 0), (TY, Hp - H - TY), (TX, Wp - W - TX), (0, 0)))
 
 
 def _plane_kernel(pa_ref, pb_ref,
-                  g_ref, f1a_hbm, f1b_hbm, f2a_hbm, f2b_hbm,
+                  g_ref, f1_hbm, f2_hbm,
                   out1_ref, out2_ref,
                   f1_vmem, f2_vmem, cur_ref, sem_ref):
     """Per grid step: EB edges. Re-DMA the fmap slabs only when the target
     slot changes (edges are grouped by target); per edge, slice the window
-    out of the right phase copy and run one (P2, C) x (C, 2*WY*WX)
-    correlation dot on the MXU for both levels. The phase-4-shifted copies
-    (f*b) are precomputed outside (HBM memref slices must be tile-aligned,
-    so the shift cannot be folded into the DMA).
+    out of VMEM and run one (P2, C) x (C, 2*WY*WX) correlation dot on the
+    MXU for both levels.
 
     Per-edge scalars arrive BIT-PACKED in two int32 streams (pa: jslot 8b |
-    by1 10b | bx1s/8 8b | ph1 1b; pb: by2 10b | bx2s/8 8b | ph2 1b) —
-    seven separate SMEM-prefetched streams at E=49k would blow the 1 MB
-    SMEM budget (7 x 192 KB)."""
+    by1 10b | bx1/8 8b; pb: by2 10b | bx2/8 8b) — seven separate
+    SMEM-prefetched streams at E=49k would blow the 1 MB SMEM budget."""
     blk = pl.program_id(0)
 
     @pl.when(blk == 0)
@@ -75,23 +91,19 @@ def _plane_kernel(pa_ref, pb_ref,
 
         @pl.when(js != cur_ref[0])
         def _():
-            cps = [pltpu.make_async_copy(src.at[js], dst, sem_ref.at[k])
-                   for k, (src, dst) in enumerate(
-                       [(f1a_hbm, f1_vmem.at[0]), (f1b_hbm, f1_vmem.at[1]),
-                        (f2a_hbm, f2_vmem.at[0]), (f2b_hbm, f2_vmem.at[1])])]
-            for c in cps:
-                c.start()
-            for c in cps:
-                c.wait()
+            cp1 = pltpu.make_async_copy(f1_hbm.at[js], f1_vmem, sem_ref.at[0])
+            cp2 = pltpu.make_async_copy(f2_hbm.at[js], f2_vmem, sem_ref.at[1])
+            cp1.start()
+            cp2.start()
+            cp1.wait()
+            cp2.wait()
             cur_ref[0] = js
 
         g = g_ref[e]                                        # (P2, C)
 
-        w1 = f1_vmem[(pa >> 26) & 1,
-                     pl.ds((pa >> 8) & 0x3FF, WY),
+        w1 = f1_vmem[pl.ds((pa >> 8) & 0x3FF, WY),
                      pl.ds(pl.multiple_of(((pa >> 18) & 0xFF) * 8, 8), WX), :]
-        w2 = f2_vmem[(pb >> 18) & 1,
-                     pl.ds(pb & 0x3FF, WY),
+        w2 = f2_vmem[pl.ds(pb & 0x3FF, WY),
                      pl.ds(pl.multiple_of(((pb >> 10) & 0xFF) * 8, 8), WX), :]
         w12 = jnp.concatenate(
             [w1.reshape(WY * WX, f1_vmem.shape[-1]),
@@ -107,11 +119,12 @@ def _plane_kernel(pa_ref, pb_ref,
 
 
 @partial(jax.jit, static_argnames=('interpret',))
-def _planes_fused(g9, fmap1, fmap2, pa, pb, interpret=False):
+def _planes_fused(g9, fp1, fp2, pa, pb, interpret=False):
     """(E, P2, WY*WX) bf16 correlation planes for both levels.
 
-    pa/pb: bit-packed per-edge scalars (see _plane_kernel); window bases are
-    SLAB-LOCAL 8-aligned, the phase bit selects the 4-px-shifted copy."""
+    fp1/fp2: (F, Hp, Wp, C) padded slabs (pad_slab).
+    pa/pb: bit-packed per-edge scalars (see _plane_kernel); window bases
+    are SLAB-LOCAL and 8-aligned."""
     E, P2, C = g9.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -120,69 +133,72 @@ def _planes_fused(g9, fmap1, fmap2, pa, pb, interpret=False):
             pl.BlockSpec((EB, P2, C), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((EB, P2, WY * WX), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((EB, P2, WY * WX), lambda i, *_: (i, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2,) + fmap1.shape[1:], fmap1.dtype),
-            pltpu.VMEM((2,) + fmap2.shape[1:], fmap2.dtype),
+            pltpu.VMEM(fp1.shape[1:], fp1.dtype),
+            pltpu.VMEM(fp2.shape[1:], fp2.dtype),
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    # phase-4-shifted copies (B slabs); tail cols are never read (bases are
-    # clipped so windows stay inside the image)
-    f1b = jnp.pad(fmap1[:, :, 4:, :], ((0, 0), (0, 0), (0, 4), (0, 0)))
-    f2b = jnp.pad(fmap2[:, :, 4:, :], ((0, 0), (0, 0), (0, 4), (0, 0)))
     return pl.pallas_call(
         _plane_kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((E, P2, WY * WX), jnp.bfloat16),
                    jax.ShapeDtypeStruct((E, P2, WY * WX), jnp.bfloat16)],
         interpret=interpret,
-    )(pa.astype(jnp.int32), pb.astype(jnp.int32), g9, fmap1, f1b, fmap2, f2b)
+    )(pa.astype(jnp.int32), pb.astype(jnp.int32), g9, fp1, fp2)
 
 
 def _window_base(coords, H, W, radius):
-    """Per-edge clipped window base (by free, bx 4-aligned via phase copies)
-    + int/frac parts. Returns bx in IMAGE coords (4-aligned)."""
+    """Clamped per-edge window base + int/frac parts + in-window offsets.
+
+    Integer coords are clamped to [-7, dim+7]: whenever the clamp binds,
+    every tap of that pixel is out of image (masked to zero), so results
+    are unchanged while bases stay within the padded slab and the in-window
+    offsets collapse to oy in [0, 4], ox in [0, 12].
+
+    Returns xi, yi (clamped ints), fx, fy, by, bx (slab coords, bx
+    8-aligned), oy, ox.
+    """
     E = coords.shape[0]
     cf = jnp.floor(coords)
     fx = (coords[..., 0] - cf[..., 0]).reshape(E, -1)
     fy = (coords[..., 1] - cf[..., 1]).reshape(E, -1)
-    xi = cf[..., 0].astype(jnp.int32).reshape(E, -1)
-    yi = cf[..., 1].astype(jnp.int32).reshape(E, -1)
-    by = jnp.clip(jnp.min(yi, axis=1) - radius, 0, H - WY)
-    bx = (jnp.clip(jnp.min(xi, axis=1) - radius, 0, W - WX) // 4) * 4
-    return xi, yi, fx, fy, by, bx
+    xi = jnp.clip(cf[..., 0].astype(jnp.int32).reshape(E, -1), -7, W + 7)
+    yi = jnp.clip(cf[..., 1].astype(jnp.int32).reshape(E, -1), -7, H + 7)
+    by_img = jnp.min(yi, axis=1) - radius              # [-10, H+4]
+    bx_img = ((jnp.min(xi, axis=1) - radius) // 8) * 8   # [-16, W+4]
+    oy = yi - radius - by_img[:, None]                 # [0, y-spread]
+    ox = xi - radius - bx_img[:, None]                 # [0, 7 + x-spread]
+    return xi, yi, fx, fy, by_img + TY, bx_img + TX, oy, ox
 
 
-def _select_taps(plane, xi, yi, fx, fy, by, bx, H, W, radius, P):
+def _select_taps(plane, xi, yi, fx, fy, oy, ox, H, W, radius, P):
     """Tap selection + bilinear + border masking via masked static shifts.
 
     plane: (E, P2, WY, WX); returns (E, d, d, P, P) float32 in the
     reference layout (dx, dy, py, px) — correlation_kernel.cu:83-232.
 
-    A pixel's 8x8 tap block starts at window-relative (oy, ox). Instead of
-    per-pixel one-hot matmuls (batched (7,16)@(16,24) dots — measured
-    ~27 ms/level on v5e: tiny-matmul issue overhead), the dynamic offset is
-    resolved as a sum of STATICALLY-shifted slices gated by [oy == s]: pure
-    elementwise VPU work that XLA fuses into one pass. Border windows give
-    oy/ox down to -radius (handled by front-padding); taps outside the
-    image are zeroed by the per-tap validity masks, exactly like the
-    reference kernel. Patches whose spread overflows the window get zeros.
+    A pixel's 8x8 tap block starts at window-relative (oy, ox), with
+    oy in [0, 4], ox in [0, 12] by construction (padded slabs + clamped
+    bases). The dynamic offset is resolved as a sum of STATICALLY-shifted
+    slices gated by [oy == s]: pure elementwise VPU work XLA fuses into one
+    pass (18 terms; dynamic gathers don't vectorize on TPU, and the
+    unpadded formulation needed 42 terms plus a padded copy of `plane`).
+    Taps outside the image are zeroed by the per-tap validity masks,
+    exactly like the reference kernel. Patches whose spread overflows the
+    window budget (oy > 4 / ox > 12, degenerate geometry) get zeros.
     """
     E, P2 = xi.shape
     D = 2 * radius + 2          # 8 integer taps per axis
     d = 2 * radius + 1          # 7 bilinear outputs per axis
     cdt = plane.dtype
 
-    oy = yi - radius - by[:, None]                         # (E, P2), >= -3
-    ox = xi - radius - bx[:, None]
     ar = jnp.arange(D)
     ty = yi[..., None] - radius + ar
     tx = xi[..., None] - radius + ar
@@ -198,35 +214,20 @@ def _select_taps(plane, xi, yi, fx, fy, by, bx, H, W, radius, P):
     axc = (one - fxc)[..., None] * vx[..., :d]
     bxc = fxc[..., None] * vx[..., 1:]
 
-    # Offsets reach [-(D-1), WIN-1]: negative when predicted coords fall at
-    # or beyond the image-min border (coords are unclipped reprojections),
-    # above WIN-D when the window base is clipped at image-max borders (taps
-    # then fall partially outside the window and contribute zero, exactly
-    # like the one-hot formulation). Beyond this range every tap is outside
-    # the image, so the correct result is zero and no shift term is needed.
-    # Front/back padding turns every reachable shift into a valid slice.
-    pad = D - 1
-    bpy = WY - 1 + 1 + d - WY          # back pad so s_max slice fits
-    bpx = WX - 1 + 1 + d - WX
-    plane_p = jnp.pad(plane, ((0, 0), (0, 0), (pad, bpy), (pad, bpx)))
-
     # y pass: t1[e,p,i,x] = ay*plane[oy+i, x] + by*plane[oy+i+1, x]
     t1 = jnp.zeros((E, P2, d, WX), cdt)
-    for s in range(-pad, WY):
+    for s in range(0, WY - D + 1):                         # oy in [0, 4]
         m = (oy == s).astype(cdt)[..., None, None]         # (E,P2,1,1)
-        lo = jax.lax.slice_in_dim(plane_p, s + pad, s + pad + d, axis=2)
-        hi = jax.lax.slice_in_dim(plane_p, s + pad + 1, s + pad + 1 + d,
-                                  axis=2)
-        t1 = t1 + m * (ay[..., None] * lo[..., pad:pad + WX] +
-                       byc[..., None] * hi[..., pad:pad + WX])
+        lo = jax.lax.slice_in_dim(plane, s, s + d, axis=2)
+        hi = jax.lax.slice_in_dim(plane, s + 1, s + 1 + d, axis=2)
+        t1 = t1 + m * (ay[..., None] * lo + byc[..., None] * hi)
 
     # x pass: out[e,p,i,j] = ax*t1[..., ox+j] + bx*t1[..., ox+j+1]
-    t1p = jnp.pad(t1, ((0, 0), (0, 0), (0, 0), (pad, bpx)))
     out = jnp.zeros((E, P2, d, d), jnp.float32)
-    for s in range(-pad, WX):
+    for s in range(0, WX - D + 1):                         # ox in [0, 12]
         m = (ox == s).astype(cdt)[..., None, None]
-        lo = jax.lax.slice_in_dim(t1p, s + pad, s + pad + d, axis=3)
-        hi = jax.lax.slice_in_dim(t1p, s + pad + 1, s + pad + 1 + d, axis=3)
+        lo = jax.lax.slice_in_dim(t1, s, s + d, axis=3)
+        hi = jax.lax.slice_in_dim(t1, s + 1, s + 1 + d, axis=3)
         out = out + (m * (axc[..., None, :] * lo +
                           bxc[..., None, :] * hi)).astype(jnp.float32)
 
@@ -235,48 +236,62 @@ def _select_taps(plane, xi, yi, fx, fy, by, bx, H, W, radius, P):
 
 
 def corr_fused(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
-               interpret=False):
+               interpret=False, g9=None, prepadded=None):
     """Both-level local correlation with frame-resident windows.
 
     gmap:    (Ng, P, P, C) bf16 source patches
-    fmap1/2: (F, H, W, C) bf16 target pyramids (level 2 = level 1 coords / 4)
+    fmap1/2: (F, H, W, C) bf16 target pyramids (level 2 = level 1 coords /4),
+             OR (F, Hp, Wp, C) padded slabs when `prepadded` carries the
+             valid dims ((H1, W1), (H2, W2)) — runtimes keep the slabs
+             padded persistently to skip the per-call pad.
     coords:  (E, P, P, 2) float level-1 coords; kk_slot/jj_slot (E,) int32.
+    g9:      optional (E, P*P, C) pre-gathered source patches (pair-blocked
+             callers gather at coarse granularity, cheaper than gmap[kk_slot])
     Edges MUST be grouped by jj_slot (sorted) — each slot change re-DMAs the
     VMEM slabs. Returns (c1, c2), each (E, 2R+1, 2R+1, P, P) float32.
     """
     assert radius == 3, 'specialized for radius 3'
     E, P = coords.shape[0], coords.shape[1]
-    H1, W1 = fmap1.shape[1], fmap1.shape[2]
-    H2, W2 = fmap2.shape[1], fmap2.shape[2]
+    if prepadded is not None:
+        (H1, W1), (H2, W2) = prepadded
+        fp1, fp2 = fmap1, fmap2
+    else:
+        H1, W1 = fmap1.shape[1], fmap1.shape[2]
+        H2, W2 = fmap2.shape[1], fmap2.shape[2]
 
     # small maps, or shapes that overflow the packed bit fields (slot 8b,
     # by 10b, bx/8 8b — see _plane_kernel): exact XLA path instead
-    if (min(H1, H2) < WY or min(W1, W2) < WX + 4
-            or fmap1.shape[0] > 256 or max(H1, H2) - WY >= 1024
-            or (max(W1, W2) - WX) // 8 >= 256):
+    if (min(H1, H2) < D_MIN or min(W1, W2) < D_MIN
+            or fmap1.shape[0] > 256 or max(H1, H2) + TY + 4 >= 1024
+            or (max(W1, W2) + TX + 4) // 8 >= 256):
         from .corr import corr as corr_xla
+        if prepadded is not None:
+            # recover the raw maps from the padded slabs
+            fmap1 = fp1[:, TY:TY + H1, TX:TX + W1, :]
+            fmap2 = fp2[:, TY:TY + H2, TX:TX + W2, :]
         c1 = corr_xla(gmap, fmap1, coords, kk_slot, jj_slot, radius=radius)
         c2 = corr_xla(gmap, fmap2, coords / 4.0, kk_slot, jj_slot,
                       radius=radius)
         return c1, c2
 
-    xi1, yi1, fx1, fy1, by1, bx1 = _window_base(coords, H1, W1, radius)
-    xi2, yi2, fx2, fy2, by2, bx2 = _window_base(coords / 4.0, H2, W2, radius)
+    if prepadded is None:
+        fp1 = pad_slab(fmap1)
+        fp2 = pad_slab(fmap2)
 
-    # phase split: any 4-aligned base is 8-aligned in one of the two copies
-    ph1 = (bx1 // 4) % 2
-    bx1s = bx1 - 4 * ph1
-    ph2 = (bx2 // 4) % 2
-    bx2s = bx2 - 4 * ph2
+    xi1, yi1, fx1, fy1, by1, bx1, oy1, ox1 = \
+        _window_base(coords, H1, W1, radius)
+    xi2, yi2, fx2, fy2, by2, bx2, oy2, ox2 = \
+        _window_base(coords / 4.0, H2, W2, radius)
 
-    # bit-pack the per-edge scalars (2 SMEM streams instead of 7; see
-    # _plane_kernel). Field widths: slot 8b, by 10b, 8-aligned bx/8 8b,
-    # phase 1b — ample for any realistic pyramid resolution.
+    # bit-pack the per-edge scalars (2 SMEM streams instead of 5+; see
+    # _plane_kernel). Field widths: slot 8b, by 10b, 8-aligned bx/8 8b —
+    # ample for any realistic pyramid resolution.
     jsl32 = jj_slot.astype(jnp.int32)
-    pa = (jsl32 | (by1 << 8) | ((bx1s // 8) << 18) | (ph1 << 26))
-    pb = (by2 | ((bx2s // 8) << 10) | (ph2 << 18))
+    pa = (jsl32 | (by1 << 8) | ((bx1 // 8) << 18))
+    pb = (by2 | ((bx2 // 8) << 10))
 
-    g9 = gmap[kk_slot].reshape(E, P * P, gmap.shape[-1])
+    if g9 is None:
+        g9 = gmap[kk_slot].reshape(E, P * P, gmap.shape[-1])
 
     # pad E to a block multiple; padded edges reuse the last slot (no reload)
     Epad = -(-E // EB) * EB
@@ -287,11 +302,11 @@ def corr_fused(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
         pa = jnp.concatenate([pa, jnp.broadcast_to(pa[-1:], (padn,))])
         pb = jnp.concatenate([pb, jnp.broadcast_to(pb[-1:], (padn,))])
 
-    plane1, plane2 = _planes_fused(g9, fmap1, fmap2, pa, pb,
+    plane1, plane2 = _planes_fused(g9, fp1, fp2, pa, pb,
                                    interpret=interpret)
     plane1 = plane1[:E].reshape(E, P * P, WY, WX)
     plane2 = plane2[:E].reshape(E, P * P, WY, WX)
 
-    c1 = _select_taps(plane1, xi1, yi1, fx1, fy1, by1, bx1, H1, W1, radius, P)
-    c2 = _select_taps(plane2, xi2, yi2, fx2, fy2, by2, bx2, H2, W2, radius, P)
+    c1 = _select_taps(plane1, xi1, yi1, fx1, fy1, oy1, ox1, H1, W1, radius, P)
+    c2 = _select_taps(plane2, xi2, yi2, fx2, fy2, oy2, ox2, H2, W2, radius, P)
     return c1, c2

@@ -149,7 +149,8 @@ class DeviceVO:
     def terminate(self):
         from .device_vo import vo_refine
         for _ in range(12):
-            self.st = vo_refine(self.params, self.st, **{
+            self.st = vo_refine(self.params, self.st,
+                                ht4=self.ht // 4, wd4=self.wd // 4, **{
                 k: v for k, v in self._static.items()
                 if k in ('M', 'pmem', 'mem', 'W', 'PCF', 'opt_window',
                          'mixed_precision', 'use_pallas')})

@@ -31,7 +31,7 @@ import numpy as np
 from .. import lie
 from ..ba_pairs import bundle_adjust_pairs, pair_centers, pair_depth
 from ..models.vonet import DIM, P, patchify_frame, update_op
-from ..ops.corr_fused import corr_fused
+from ..ops.corr_fused import corr_fused, pad_hw, pad_slab
 
 CNT_CAP = 16384     # max input frames per sequence
 
@@ -45,8 +45,8 @@ class VOState:
     colors: jnp.ndarray       # (N, M, 3) f32
     imap: jnp.ndarray         # (pmem*M, DIM) bf16
     gmap: jnp.ndarray         # (pmem*M, P, P, 128) bf16
-    fmap1: jnp.ndarray        # (mem, H4, W4, 128) bf16
-    fmap2: jnp.ndarray        # (mem, H16, W16, 128) bf16
+    fmap1: jnp.ndarray        # (mem, Hp4, Wp4, 128) bf16, padded (pad_hw)
+    fmap2: jnp.ndarray        # (mem, Hp16, Wp16, 128) bf16, padded
     pi: jnp.ndarray           # (GP,) int32 source frame per pair
     pj: jnp.ndarray           # (GP,) int32 target frame per pair
     pvalid: jnp.ndarray       # (GP,) bool
@@ -93,8 +93,10 @@ def init_state(cfg, ht, wd, intrinsics):
         colors=jnp.zeros((N, M, 3), jnp.float32),
         imap=jnp.zeros((pmem * M, DIM), f16),
         gmap=jnp.zeros((pmem * M, P, P, 128), f16),
-        fmap1=jnp.zeros((mem, ht4, wd4, 128), f16),
-        fmap2=jnp.zeros((mem, ht4 // 4, wd4 // 4, 128), f16),
+        # feature slabs live PRE-PADDED (corr_fused pad_slab): the border
+        # padding happens once per stored frame, not per corr call
+        fmap1=jnp.zeros((mem,) + pad_hw(ht4, wd4) + (128,), f16),
+        fmap2=jnp.zeros((mem,) + pad_hw(ht4 // 4, wd4 // 4) + (128,), f16),
         pi=jnp.zeros((GP,), jnp.int32),
         pj=jnp.zeros((GP,), jnp.int32),
         pvalid=jnp.zeros((GP,), bool),
@@ -195,8 +197,9 @@ def _reproject_pairs(poses, centers, depth, intr, pi, pj, M):
     yn = (gy - cy) / fy
     X0 = jnp.stack([xn, yn, jnp.ones_like(xn),
                     jnp.broadcast_to(d[..., None, None], xn.shape)], axis=-1)
-    Gij = lie.se3_mul(poses[jnp.maximum(pj, 0)],
-                      lie.se3_inv(poses[jnp.maximum(pi, 0)]))
+    from ..ba_pairs import gather_rows
+    Gij = lie.se3_mul(gather_rows(poses, jnp.maximum(pj, 0)),
+                      lie.se3_inv(gather_rows(poses, jnp.maximum(pi, 0))))
     X1 = lie.se3_act4(Gij[:, None, None, None, :], X0)
     Z = jnp.maximum(X1[..., 2], 0.1)
     x1 = fx * X1[..., 0] / Z + cx
@@ -312,10 +315,10 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
     st.gmap = jax.lax.dynamic_update_slice(
         st.gmap, feats['gmap'].astype(st.gmap.dtype), (imap_slot, 0, 0, 0))
     st.fmap1 = jax.lax.dynamic_update_slice(
-        st.fmap1, feats['fmap1'][None].astype(st.fmap1.dtype),
+        st.fmap1, pad_slab(feats['fmap1'][None].astype(st.fmap1.dtype)),
         (n % mem, 0, 0, 0))
     st.fmap2 = jax.lax.dynamic_update_slice(
-        st.fmap2, feats['fmap2'][None].astype(st.fmap2.dtype),
+        st.fmap2, pad_slab(feats['fmap2'][None].astype(st.fmap2.dtype)),
         (n % mem, 0, 0, 0))
 
     # ---------------- probe (pre-init accept test) ---------------- #
@@ -327,10 +330,17 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
         kk_slot = ((pi_a % pmem)[:, None] * M +
                    jnp.arange(M)[None, :]).reshape(E)
         jj_slot = jnp.repeat(pj_a % mem, M)
+        # gather source patches / context at PAIR granularity — (GP,) rows
+        # of M contiguous patches each, not E fine-grained rows
+        psl = pi_a % pmem
+        g9 = st.gmap.reshape(pmem, M, P * P, st.gmap.shape[-1])[psl]
+        h4, w4 = image.shape[0] // 4, image.shape[1] // 4
         c1, c2 = corr_fused(st.gmap, st.fmap1, st.fmap2, coords_f,
-                            kk_slot, jj_slot)
+                            kk_slot, jj_slot,
+                            g9=g9.reshape(E, P * P, st.gmap.shape[-1]),
+                            prepadded=((h4, w4), (h4 // 4, w4 // 4)))
         corr_feat = jnp.stack([c1, c2], axis=-1).reshape(E, -1)
-        inp = st.imap[kk_slot]
+        inp = st.imap.reshape(pmem, M * DIM)[psl].reshape(E, DIM)
         return coords_r, corr_feat, inp
 
     def probe_delta():
@@ -426,7 +436,8 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
                 params, netf, inp, corr_feat, ix_e, jx_e, kk_ids, pair_ids,
                 num_segments=GP * M, edge_mask=edge_mask,
                 mixed_precision=mixed_precision,
-                num_segments_kk=pmem * M, num_segments_ij=GP)
+                num_segments_kk=pmem * M, num_segments_ij=GP,
+                gather_pairs=(ix_pair, jx_pair, M))
             net = netf.reshape(GP, M, DIM)
             center = coords_r[:, :, P // 2, P // 2, :]
             target = center + delta.reshape(GP, M, 2)
@@ -485,10 +496,10 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
 
 @partial(jax.jit,
          static_argnames=('M', 'pmem', 'mem', 'W', 'PCF', 'opt_window',
-                          'mixed_precision', 'use_pallas'),
+                          'mixed_precision', 'use_pallas', 'ht4', 'wd4'),
          donate_argnames=('st',))
 def vo_refine(params, st, *, M, pmem, mem, W, PCF, opt_window,
-              mixed_precision=True, use_pallas=True):
+              mixed_precision=True, use_pallas=True, ht4=None, wd4=None):
     """One update+BA iteration over the existing pairs (terminate(), which
     runs this 12x — reference dpvo.py:181-183)."""
     GP = st.pi.shape[0]
@@ -515,16 +526,21 @@ def vo_refine(params, st, *, M, pmem, mem, W, PCF, opt_window,
     coords_f = coords_r.reshape(E, P, P, 2)
     kk_slot = ((st.pi % pmem)[:, None] * M + marange[None, :]).reshape(E)
     jj_slot = jnp.repeat(st.pj % mem, M)
+    psl = st.pi % pmem
+    g9 = st.gmap.reshape(pmem, M, P * P, st.gmap.shape[-1])[psl]
     c1, c2 = corr_fused(st.gmap, st.fmap1, st.fmap2, coords_f,
-                        kk_slot, jj_slot)
+                        kk_slot, jj_slot,
+                        g9=g9.reshape(E, P * P, st.gmap.shape[-1]),
+                        prepadded=((ht4, wd4), (ht4 // 4, wd4 // 4)))
     corr_feat = jnp.stack([c1, c2], axis=-1).reshape(E, -1)
-    inp = st.imap[kk_slot]
+    inp = st.imap.reshape(pmem, M * DIM)[psl].reshape(E, DIM)
 
     netf = st.net.reshape(E, DIM)
     netf, delta, wgt = update_op(
         params, netf, inp, corr_feat, ix_e, jx_e, kk_ids, pair_ids,
         num_segments=E, edge_mask=edge_mask, mixed_precision=mixed_precision,
-        num_segments_kk=pmem * M, num_segments_ij=GP)
+        num_segments_kk=pmem * M, num_segments_ij=GP,
+        gather_pairs=(ix_pair, jx_pair, M))
     st.net = netf.reshape(GP, M, DIM)
     center = coords_r[:, :, P // 2, P // 2, :]
     st.target = center + delta.reshape(GP, M, 2)

@@ -45,11 +45,17 @@ def timeit(fn, *args, iters=10):
 WY, WX = cfm.WY, cfm.WX
 
 
+fp1 = jax.jit(cfm._pad_phases)(fmap1)
+fp2 = jax.jit(cfm._pad_phases)(fmap2)
+
+
 def planes_only(coords):
     H1_, W1_ = fmap1.shape[1], fmap1.shape[2]
     H2_, W2_ = fmap2.shape[1], fmap2.shape[2]
-    xi1, yi1, fx1, fy1, by1, bx1 = cfm._window_base(coords, H1_, W1_, 3)
-    xi2, yi2, fx2, fy2, by2, bx2 = cfm._window_base(coords / 4.0, H2_, W2_, 3)
+    xi1, yi1, fx1, fy1, by1, bx1, oy1, ox1 = \
+        cfm._window_base(coords, H1_, W1_, 3)
+    xi2, yi2, fx2, fy2, by2, bx2, oy2, ox2 = \
+        cfm._window_base(coords / 4.0, H2_, W2_, 3)
     ph1 = (bx1 // 4) % 2
     bx1s = bx1 - 4 * ph1
     ph2 = (bx2 // 4) % 2
@@ -58,7 +64,7 @@ def planes_only(coords):
     pa = (jsl32 | (by1 << 8) | ((bx1s // 8) << 18) | (ph1 << 26))
     pb = (by2 | ((bx2s // 8) << 10) | (ph2 << 18))
     g9 = gmap[kk].reshape(E, P * P, C)
-    return cfm._planes_fused(g9, fmap1, fmap2, pa, pb)
+    return cfm._planes_fused(g9, fp1, fp2, pa, pb)
 
 
 for eb in (32, 64, 128, 256):
