@@ -61,6 +61,7 @@ class VOState:
     counter: jnp.ndarray      # scalar int32: input frame count
     is_init: jnp.ndarray      # scalar bool
     intr: jnp.ndarray         # (4,) shared intrinsics / RES
+    fslot: jnp.ndarray        # (N,) int32 frame index -> feature ring slot
 
     def tree_flatten(self):
         fields = (self.poses, self.centers, self.depth, self.colors,
@@ -68,7 +69,7 @@ class VOState:
                   self.pi, self.pj, self.pvalid, self.net, self.target,
                   self.weight, self.tstamps, self.in_times, self.delta_src,
                   self.delta_pose, self.n, self.counter, self.is_init,
-                  self.intr)
+                  self.intr, self.fslot)
         return fields, None
 
     @classmethod
@@ -112,6 +113,7 @@ def init_state(cfg, ht, wd, intrinsics):
         counter=jnp.int32(0),
         is_init=jnp.asarray(False),
         intr=jnp.asarray(np.asarray(intrinsics, np.float32) / 4.0),
+        fslot=jnp.zeros((N,), jnp.int32),
     )
 
 
@@ -162,6 +164,15 @@ def _center_flow(poses, centers, depth, intr, i, j, M, beta=0.5):
     # reference takes a plain mean over the edge's P x P grid; centers-only
     # is the same statistic
     return flow.mean()
+
+
+def _slot_of(fslot, idx):
+    """Ring slot of each frame index (one-hot MXU gather; values < pmem are
+    exact in f32)."""
+    from ..ba_pairs import gather_rows
+    out = gather_rows(fslot.astype(jnp.float32).reshape(-1, 1),
+                      jnp.maximum(idx, 0))
+    return out.reshape(idx.shape).astype(jnp.int32)
 
 
 def _pair_neighbors(pi, pj, pvalid, GP):
@@ -215,22 +226,14 @@ def _shift_frames(st, k, n, M, pmem, mem):
         m = (idx >= lo) & (idx < hi)
         return jnp.where(m.reshape((-1,) + (1,) * (buf.ndim - 1)), rolled, buf)
 
-    def shift_ring(buf, slots, rows_per_slot):
-        rolled = jnp.roll(buf, -rows_per_slot, axis=0)
-        sl = jnp.arange(buf.shape[0]) // rows_per_slot
-        affected = ((sl - (k % slots)) % slots) < jnp.minimum(n - 1 - k, slots)
-        return jnp.where(affected.reshape((-1,) + (1,) * (buf.ndim - 1)),
-                         rolled, buf)
-
     st.poses = shift_rows(st.poses, k, n - 1)
     st.tstamps = shift_rows(st.tstamps, k, n - 1)
     st.colors = shift_rows(st.colors, k, n - 1)
     st.centers = shift_rows(st.centers, k * M, (n - 1) * M)
     st.depth = shift_rows(st.depth, k * M, (n - 1) * M)
-    st.imap = shift_ring(st.imap, pmem, M)
-    st.gmap = shift_ring(st.gmap, pmem, M)
-    st.fmap1 = shift_ring(st.fmap1, mem, 1)
-    st.fmap2 = shift_ring(st.fmap2, mem, 1)
+    # feature buffers (imap/gmap/fmap1/fmap2) stay PUT: the fslot
+    # indirection map shifts instead (slots follow their frames)
+    st.fslot = shift_rows(st.fslot, k, n - 1)
     return st
 
 
@@ -309,17 +312,29 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
         st.tstamps, st.counter[None], (n,))
     st.in_times = jax.lax.dynamic_update_slice(
         st.in_times, jnp.asarray(tstamp, jnp.float32)[None], (st.counter,))
-    imap_slot = (n % pmem) * M
+    # ring-slot allocation via the fslot indirection map: pick the first
+    # slot not referenced by any live frame. Keyframe removal then only
+    # shifts the 4-byte-per-frame map instead of rolling the ~300 MB of
+    # feature slabs (the rolls cost ~4-5 ms/frame when keyframing).
+    live_cap = PCF + 2
+    live_lo = jnp.maximum(n - live_cap + 1, 0)
+    win = jax.lax.dynamic_slice(st.fslot, (live_lo,), (live_cap,))
+    pos = jnp.arange(live_cap, dtype=jnp.int32) + live_lo
+    used = jnp.zeros((pmem,), jnp.int32).at[
+        jnp.where(pos < n, win, pmem)].set(1, mode='drop')
+    slot = jnp.argmin(used).astype(jnp.int32)
+    st.fslot = st.fslot.at[n].set(slot)
+
     st.imap = jax.lax.dynamic_update_slice(
-        st.imap, feats['imap'].astype(st.imap.dtype), (imap_slot, 0))
+        st.imap, feats['imap'].astype(st.imap.dtype), (slot * M, 0))
     st.gmap = jax.lax.dynamic_update_slice(
-        st.gmap, feats['gmap'].astype(st.gmap.dtype), (imap_slot, 0, 0, 0))
+        st.gmap, feats['gmap'].astype(st.gmap.dtype), (slot * M, 0, 0, 0))
     st.fmap1 = jax.lax.dynamic_update_slice(
         st.fmap1, pad_slab(feats['fmap1'][None].astype(st.fmap1.dtype)),
-        (n % mem, 0, 0, 0))
+        (slot, 0, 0, 0))
     st.fmap2 = jax.lax.dynamic_update_slice(
         st.fmap2, pad_slab(feats['fmap2'][None].astype(st.fmap2.dtype)),
-        (n % mem, 0, 0, 0))
+        (slot, 0, 0, 0))
 
     # ---------------- probe (pre-init accept test) ---------------- #
     def corr_two_level(pi_a, pj_a, pv_a, net_a, poses, depth):
@@ -327,12 +342,11 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
                                     pi_a, pj_a, M)
         E = pi_a.shape[0] * M
         coords_f = coords_r.reshape(E, P, P, 2)
-        kk_slot = ((pi_a % pmem)[:, None] * M +
-                   jnp.arange(M)[None, :]).reshape(E)
-        jj_slot = jnp.repeat(pj_a % mem, M)
         # gather source patches / context at PAIR granularity — (GP,) rows
         # of M contiguous patches each, not E fine-grained rows
-        psl = pi_a % pmem
+        psl = _slot_of(st.fslot, pi_a)
+        kk_slot = (psl[:, None] * M + jnp.arange(M)[None, :]).reshape(E)
+        jj_slot = jnp.repeat(_slot_of(st.fslot, pj_a), M)
         g9 = st.gmap.reshape(pmem, M, P * P, st.gmap.shape[-1])[psl]
         h4, w4 = image.shape[0] // 4, image.shape[1] // 4
         c1, c2 = corr_fused(st.gmap, st.fmap1, st.fmap2, coords_f,
@@ -416,11 +430,10 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
         jx_e = jnp.where(jx_pair[:, None] >= 0,
                          jx_pair[:, None] * M + marange[None, :],
                          -1).reshape(GP * M)
-        # patch groups keyed by source slot (mod pmem): live sources span
-        # < pmem frames (same aliasing argument as the gmap/imap ring), so
-        # the agg segment count drops from GP*M to pmem*M — 14x less
-        # h-GEMM/scatter work in soft_agg
-        kk_ids = ((st.pi % pmem)[:, None] * M + marange[None, :]
+        # patch groups keyed by source ring slot: slots are unique among
+        # live frames (fslot allocator), so the agg segment count drops
+        # from GP*M to pmem*M — 14x less h-GEMM/scatter work in soft_agg
+        kk_ids = (_slot_of(st.fslot, st.pi)[:, None] * M + marange[None, :]
                   ).reshape(GP * M)
         pair_ids = jnp.repeat(jnp.arange(GP, dtype=jnp.int32), M)
         edge_mask = jnp.repeat(st.pvalid, M)
@@ -514,7 +527,8 @@ def vo_refine(params, st, *, M, pmem, mem, W, PCF, opt_window,
                      jx_pair[:, None] * M + marange[None, :],
                      -1).reshape(GP * M)
     # source slots alias safely mod pmem (see vo_frame) — tight agg bounds
-    kk_ids = ((st.pi % pmem)[:, None] * M + marange[None, :]).reshape(GP * M)
+    kk_ids = (_slot_of(st.fslot, st.pi)[:, None] * M + marange[None, :]
+              ).reshape(GP * M)
     pair_ids = jnp.repeat(jnp.arange(GP, dtype=jnp.int32), M)
     edge_mask = jnp.repeat(st.pvalid, M)
     t0 = jnp.maximum(n1 - opt_window, 1)
@@ -524,9 +538,9 @@ def vo_refine(params, st, *, M, pmem, mem, W, PCF, opt_window,
                                 st.pi, st.pj, M)
     E = GP * M
     coords_f = coords_r.reshape(E, P, P, 2)
-    kk_slot = ((st.pi % pmem)[:, None] * M + marange[None, :]).reshape(E)
-    jj_slot = jnp.repeat(st.pj % mem, M)
-    psl = st.pi % pmem
+    psl = _slot_of(st.fslot, st.pi)
+    kk_slot = (psl[:, None] * M + marange[None, :]).reshape(E)
+    jj_slot = jnp.repeat(_slot_of(st.fslot, st.pj), M)
     g9 = st.gmap.reshape(pmem, M, P * P, st.gmap.shape[-1])[psl]
     c1, c2 = corr_fused(st.gmap, st.fmap1, st.fmap2, coords_f,
                         kk_slot, jj_slot,
