@@ -145,6 +145,8 @@ def main():
                     help='frames per dispatch (lax.scan throughput mode)')
     ap.add_argument('--slam-modes', action='store_true',
                     help='also measure LOOP_CLOSURE / CLASSIC_LOOP_CLOSURE')
+    ap.add_argument('--with-fast', action='store_true',
+                    help="also measure the reference's fast.yaml preset")
     ap.add_argument('--opts', nargs='+', default=[])
     args = ap.parse_args()
 
@@ -163,6 +165,14 @@ def main():
     baseline = 60.0  # RTX-3090 paper figure
 
     extra = {}
+    if args.with_fast:
+        cf = cfg.clone()
+        cf.merge_from_file('config/fast.yaml')
+        try:
+            ff, _, _ = run_mode(cf, args, H, W, frames, intr, 'fast')
+            extra['fast_yaml_fps'] = round(ff, 2)
+        except Exception as e:
+            extra['fast_yaml_fps'] = f'error: {e}'
     if args.slam_modes:
         for key, name in (('LOOP_CLOSURE', 'slam_lc_fps'),
                           ('CLASSIC_LOOP_CLOSURE', 'slam_classic_fps')):

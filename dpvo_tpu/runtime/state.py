@@ -151,9 +151,13 @@ def update_step(params, poses, patch_xy, depth, intrinsics,
 
     gmap_flat = gmap_buf                                  # (pmem*M, P, P, 128)
     if corr_mode == 'fused':
+        from ..ba_pairs import gather_rows
         from ..ops.corr_fused import corr_fused
+        # one-hot MXU gather: TPU lowers E-row gathers to sequential loops
+        g9 = gather_rows(gmap_flat.reshape(gmap_flat.shape[0], -1), kk_slot)
         c1, c2 = corr_fused(gmap_flat, fmap1_buf, fmap2_buf, coords,
-                            kk_slot, jj_slot)
+                            kk_slot, jj_slot,
+                            g9=g9.reshape(kk_slot.shape[0], P * P, -1))
     elif corr_mode == 'mxu':
         from ..ops.corr_mxu import corr_mxu
         c1 = corr_mxu(gmap_flat, fmap1_buf, coords, kk_slot, jj_slot)
@@ -169,7 +173,8 @@ def update_step(params, poses, patch_xy, depth, intrinsics,
     # reference layout: stack levels last, flatten (dx, dy, py, px, lvl)
     corr_feat = jnp.stack([c1, c2], axis=-1).reshape(coords.shape[0], -1)
 
-    inp = imap_buf[kk_slot]
+    from ..ba_pairs import gather_rows as _gr
+    inp = _gr(imap_buf, kk_slot)
     E = ii.shape[0]
     net, delta, weight = update_op(
         params, net, inp, corr_feat, ix, jx, kk_ids, pair_ids,
@@ -373,9 +378,13 @@ def frame_step(params, poses, patch_xy, depth, intrinsics,
         coords_r = _reproject(poses, patch_xy, depth, intrinsics, ii, jj, kk)
 
         if corr_mode == 'fused':
+            from ..ba_pairs import gather_rows
             from ..ops.corr_fused import corr_fused
+            g9 = gather_rows(gmap_buf.reshape(gmap_buf.shape[0], -1),
+                             kk_slot)
             c1, c2 = corr_fused(gmap_buf, fmap1_buf, fmap2_buf, coords_r,
-                                kk_slot, jj_slot)
+                                kk_slot, jj_slot,
+                                g9=g9.reshape(kk_slot.shape[0], P * P, -1))
         elif corr_mode == 'mxu':
             from ..ops.corr_mxu import corr_mxu
             c1 = corr_mxu(gmap_buf, fmap1_buf, coords_r, kk_slot, jj_slot)
@@ -400,7 +409,8 @@ def frame_step(params, poses, patch_xy, depth, intrinsics,
         corr_feat = jnp.stack([c1, c2], axis=-1).reshape(
             coords_r.shape[0], -1)
 
-        inp = imap_buf[kk_slot]
+        from ..ba_pairs import gather_rows as _gr
+        inp = _gr(imap_buf, kk_slot)
         E = ii.shape[0]
         net, delta, weight = update_op(
             params, net, inp, corr_feat, ix, jx, kk_ids, pair_ids,

@@ -107,8 +107,21 @@ def main(args):
         total_steps += 1
         if total_steps % 10000 == 0:
             Path('checkpoints').mkdir(exist_ok=True)
+            ckpt_path = f'checkpoints/{args.name}_{total_steps:06d}.npz'
             save_params_npz({k: np.asarray(v) for k, v in params.items()},
-                            f'checkpoints/{args.name}_{total_steps:06d}.npz')
+                            ckpt_path)
+            # in-training validation (reference train.py:144-156 runs
+            # evaluate_tartan on the validation split and logs the results)
+            if args.validate:
+                try:
+                    import evaluate_tartan
+                    val = evaluate_tartan.evaluate(
+                        None, ckpt_path, split='validation', trials=1)
+                    logger.write_dict(
+                        {f'val/{k}': v for k, v in val.items()})
+                    print(f'[val @ {total_steps}] {val}')
+                except Exception as e:
+                    print(f'WARNING: validation failed: {e}')
         if total_steps >= args.steps:
             break
 
@@ -126,6 +139,9 @@ if __name__ == '__main__':
     parser.add_argument('--pose_weight', type=float, default=10.0)
     parser.add_argument('--flow_weight', type=float, default=0.1)
     parser.add_argument('--datapath', default='datasets/TartanAir')
+    parser.add_argument('--validate', action='store_true',
+                        help='run evaluate_tartan on the validation split at '
+                             'every checkpoint (reference train.py:151)')
     args = parser.parse_args()
 
     main(args)
