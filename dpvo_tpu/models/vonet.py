@@ -151,21 +151,26 @@ def update_op(params, net, inp, corr_feat, ix, jx, kk_ids, pair_ids,
 
     mask_ix = ((ix >= 0) & edge_mask)[:, None].astype(dtype)
     mask_jx = ((jx >= 0) & edge_mask)[:, None].astype(dtype)
-    if gather_pairs is not None:
-        # pair-blocked edge tables (DeviceVO): the temporal neighbors of a
-        # pair's M edges are the neighbor PAIR's M edges in order, so the
-        # (E,)-row gather collapses to a (GP,)-row gather of contiguous
-        # (M*DIM)-sized rows — far friendlier to the TPU than 49k
-        # fine-grained row lookups
-        ix_pair, jx_pair, Mg = gather_pairs
-        netp = net.reshape(-1, Mg * net.shape[-1])
-        net_ix = netp[jnp.maximum(ix_pair, 0)].reshape(net.shape)
-        net_jx = netp[jnp.maximum(jx_pair, 0)].reshape(net.shape)
-    else:
-        net_ix = net[jnp.maximum(ix, 0)]
-        net_jx = net[jnp.maximum(jx, 0)]
-    net = net + mlp2(p, 'update.c1.0', 'update.c1.2', mask_ix * net_ix)
-    net = net + mlp2(p, 'update.c2.0', 'update.c2.2', mask_jx * net_jx)
+
+    def neighbor(x, idx_e, idx_pair):
+        if gather_pairs is not None:
+            # pair-blocked edge tables (DeviceVO): the temporal neighbors
+            # of a pair's M edges are the neighbor PAIR's M edges in order,
+            # so the (E,)-row gather collapses to a (GP,)-row gather of
+            # contiguous (M*DIM)-sized rows — far friendlier to the TPU
+            # than 49k fine-grained row lookups
+            Mg = gather_pairs[2]
+            xp = x.reshape(-1, Mg * x.shape[-1])
+            return xp[jnp.maximum(idx_pair, 0)].reshape(x.shape)
+        return x[jnp.maximum(idx_e, 0)]
+
+    # SEQUENTIAL: c2's gather sees the c1-updated hidden state (reference
+    # net.py:80-85 applies the two temporal convs one after the other)
+    gp = gather_pairs or (None, None, None)
+    net = net + mlp2(p, 'update.c1.0', 'update.c1.2',
+                     mask_ix * neighbor(net, ix, gp[0]))
+    net = net + mlp2(p, 'update.c2.0', 'update.c2.2',
+                     mask_jx * neighbor(net, jx, gp[1]))
 
     net = net + soft_agg(p, 'update.agg_kk', net, kk_ids, num_segments_kk,
                          mask=edge_mask)

@@ -202,3 +202,167 @@ def test_update_op_parity():
                                atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(out_d), ref_d.numpy(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(out_w), ref_w.numpy(), atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# correlation op: pure-torch mirror of the reference CUDA kernel
+# (dpvo/altcorr/correlation_kernel.cu:83-232)
+# ---------------------------------------------------------------------------
+
+def torch_corr(gmap_t, fmap_t, coords_t, kk_t, jj_t, radius=3):
+    """corr[e, dx, dy, py, px] = bilinear_4tap( sum_c g[kk[e],c,py,px] *
+    f[jj[e], c, y0+dy', x0+dx'] ) with out-of-image taps zeroed.
+
+    gmap_t (Ng, C, P, P); fmap_t (F, C, H, W); coords_t (E, 2, P, P)."""
+    E, _, P, _ = coords_t.shape
+    D = 2 * radius + 2
+    d = 2 * radius + 1
+    H, W = fmap_t.shape[2], fmap_t.shape[3]
+
+    x0 = torch.floor(coords_t[:, 0]).long() - radius       # (E, P, P)
+    y0 = torch.floor(coords_t[:, 1]).long() - radius
+    fx = (coords_t[:, 0] - torch.floor(coords_t[:, 0]))    # (E, P, P)
+    fy = (coords_t[:, 1] - torch.floor(coords_t[:, 1]))
+
+    ar = torch.arange(D)
+    yi = y0[..., None] + ar                                # (E, P, P, D)
+    xj = x0[..., None] + ar
+    valid = ((yi[..., :, None] >= 0) & (yi[..., :, None] < H) &
+             (xj[..., None, :] >= 0) & (xj[..., None, :] < W))
+    yc = yi.clamp(0, H - 1)
+    xc = xj.clamp(0, W - 1)
+
+    g = gmap_t[kk_t]                                       # (E, C, P, P)
+    f = fmap_t[jj_t]                                       # (E, C, H, W)
+    # windows via advanced indexing: (E, P, P, D, D, C)
+    win = f[torch.arange(E)[:, None, None, None, None],
+            :, yc[:, :, :, :, None], xc[:, :, :, None, :]]
+    win = win * valid[..., None]
+    c = torch.einsum('ecij,eijklc->eijkl', g.double(), win.double())
+    out = ((1 - fx)[..., None, None] * (1 - fy)[..., None, None] *
+           c[..., :d, :d] +
+           fx[..., None, None] * (1 - fy)[..., None, None] * c[..., :d, 1:] +
+           (1 - fx)[..., None, None] * fy[..., None, None] * c[..., 1:, :d] +
+           fx[..., None, None] * fy[..., None, None] * c[..., 1:, 1:])
+    # (E, py, px, dy, dx) -> (E, dx, dy, py, px)
+    return out.permute(0, 4, 3, 1, 2).float()
+
+
+def test_corr_torch_parity():
+    """Cross-framework certification of the correlation op, incl. borders."""
+    from dpvo_tpu.ops.corr import corr as corr_xla
+
+    rng = np.random.RandomState(5)
+    P, C, H, W, F, Ng, E = 3, 32, 40, 56, 3, 24, 64
+    gmap = rng.randn(Ng, P, P, C).astype(np.float32)
+    fmap = rng.randn(F, H, W, C).astype(np.float32)
+    cx = np.concatenate([rng.uniform(5, W - 6, E - 16),
+                         rng.uniform(-2, 4, 8), rng.uniform(W - 4, W + 2, 8)])
+    cy = np.concatenate([rng.uniform(5, H - 6, E - 16),
+                         rng.uniform(H - 4, H + 2, 8), rng.uniform(-2, 4, 8)])
+    off = np.linspace(-1.0, 1.0, P)
+    gx = cx[:, None, None] + off[None, None, :]
+    gy = cy[:, None, None] + off[None, :, None]
+    coords = np.stack([np.broadcast_to(gx, (E, P, P)),
+                       np.broadcast_to(gy, (E, P, P))], -1).astype(np.float32)
+    kk = rng.randint(0, Ng, E)
+    jj = rng.randint(0, F, E)
+
+    ours = np.asarray(corr_xla(jnp.asarray(gmap), jnp.asarray(fmap),
+                               jnp.asarray(coords),
+                               jnp.asarray(kk.astype(np.int32)),
+                               jnp.asarray(jj.astype(np.int32))))
+
+    with torch.no_grad():
+        ref = torch_corr(
+            torch.from_numpy(gmap.transpose(0, 3, 1, 2)),
+            torch.from_numpy(fmap.transpose(0, 3, 1, 2)),
+            torch.from_numpy(coords.transpose(0, 3, 1, 2)),
+            torch.from_numpy(kk), torch.from_numpy(jj)).numpy()
+
+    np.testing.assert_allclose(ours, ref, atol=5e-3, rtol=1e-4)
+
+
+def test_frame_pipeline_parity():
+    """One full tracked step through BOTH stacks: encoders -> patch gather ->
+    correlation -> update operator, same torch weights (VERDICT round-1 #4a;
+    the BA stage is certified separately by tests/test_ba golden cases and
+    the oracle-ATE runtime test)."""
+    from dpvo_tpu.models.vonet import patchify_frame
+    from dpvo_tpu.ops.corr import corr as corr_xla
+
+    torch.manual_seed(3)
+    fnet = TorchBasicEncoder4(128, 'instance').eval()
+    inet = TorchBasicEncoder4(DIM, 'none').eval()
+    upd = TorchUpdate().eval().float()
+    sd = {}
+    sd.update({f'patchify.fnet.{k}': v for k, v in fnet.state_dict().items()})
+    sd.update({f'patchify.inet.{k}': v for k, v in inet.state_dict().items()})
+    sd.update({f'update.{k}': v for k, v in upd.state_dict().items()})
+    params = VONetParams.from_f32(convert_torch_state_dict(sd))
+
+    rng = np.random.RandomState(9)
+    H, W, M = 64, 96, 12
+    img = (2.0 * (rng.randint(0, 255, (H, W, 3)) / 255.0) - 0.5
+           ).astype(np.float32)
+    # integer centroids: patch extraction is then an exact gather
+    coords = np.stack([rng.randint(2, W // 4 - 2, M),
+                       rng.randint(2, H // 4 - 2, M)], -1).astype(np.float32)
+
+    # --- JAX path ---
+    feats = patchify_frame(params, jnp.asarray(img), jnp.asarray(coords),
+                           mixed_precision=False)
+    E = M
+    kk = np.arange(M)
+    jj = np.zeros(M, np.int64)
+    tgt = np.stack([
+        coords[:, 0, None, None] + np.linspace(-1, 1, 3)[None, None, :]
+        + rng.uniform(-.4, .4, (M, 3, 3)),
+        coords[:, 1, None, None] + np.linspace(-1, 1, 3)[None, :, None]
+        + rng.uniform(-.4, .4, (M, 3, 3))], -1).astype(np.float32)
+    c1 = corr_xla(feats['gmap'], feats['fmap1'][None], jnp.asarray(tgt),
+                  jnp.asarray(kk.astype(np.int32)),
+                  jnp.asarray(jj.astype(np.int32)))
+    corr_feat_j = jnp.concatenate(
+        [c1.reshape(E, -1), jnp.zeros((E, 49 * 9))], axis=1)
+
+    net0 = rng.randn(E, DIM).astype(np.float32) * 0.1
+    neg = np.full(E, -1, np.int32)
+    ids = np.arange(E, dtype=np.int32)
+    out_net, out_d, out_w = update_op(
+        params, jnp.asarray(net0), feats['imap'].astype(jnp.float32),
+        corr_feat_j.astype(jnp.float32),
+        jnp.asarray(neg), jnp.asarray(neg), jnp.asarray(ids),
+        jnp.asarray(np.zeros(E, np.int32)),
+        num_segments=E, edge_mask=jnp.ones(E, bool), mixed_precision=False)
+
+    # --- torch path ---
+    with torch.no_grad():
+        x = torch.from_numpy(img.transpose(2, 0, 1))[None]
+        fmap_t = fnet(x) / 4.0                      # (1, 128, H/4, W/4)
+        imap_t = inet(x) / 4.0                      # (1, 384, H/4, W/4)
+        ix = coords.astype(np.int64)
+        gm, im = [], []
+        for m in range(M):
+            cxm, cym = ix[m, 0], ix[m, 1]
+            gm.append(fmap_t[0, :, cym - 1:cym + 2, cxm - 1:cxm + 2])
+            im.append(imap_t[0, :, cym, cxm])
+        gmap_t = torch.stack(gm)                    # (M, 128, 3, 3)
+        imap_vec = torch.stack(im)                  # (M, 384)
+        ct = torch_corr(gmap_t, fmap_t, torch.from_numpy(
+            tgt.transpose(0, 3, 1, 2)), torch.from_numpy(kk),
+            torch.from_numpy(jj))
+        corr_feat_t = torch.cat(
+            [ct.reshape(E, -1), torch.zeros(E, 49 * 9)], dim=1)
+        ref_net, ref_d, ref_w = upd(
+            torch.from_numpy(net0), imap_vec, corr_feat_t,
+            torch.from_numpy(neg.astype(np.int64)),
+            torch.from_numpy(neg.astype(np.int64)),
+            torch.from_numpy(kk), torch.from_numpy(jj))
+
+    np.testing.assert_allclose(np.asarray(out_d), ref_d.numpy(),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_w), ref_w.numpy(),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_net), ref_net.numpy(),
+                               atol=5e-3, rtol=1e-3)
