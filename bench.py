@@ -34,10 +34,11 @@ def synth_frames(n, H, W, seed=0):
 
 
 def force_completion(slam):
-    """Fetch one scalar that depends on the full queued computation."""
-    if hasattr(slam, 'st'):
-        return float(slam.st.poses[0, 0])
-    return float(slam.poses_dev[0, 0])
+    """Fetch one scalar that depends on the full queued computation
+    (poll-until-ready first: blocking a PENDING array stalls the tunnel)."""
+    from dpvo_tpu.utils.fetch import fetch
+    arr = slam.st.poses if hasattr(slam, 'st') else slam.poses_dev
+    return float(fetch(arr[0, 0]))
 
 
 def run_mode(cfg, args, H, W, frames, intr, label):

@@ -20,15 +20,21 @@ from . import lie
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
-def gather_rows(buf, idx):
+def gather_rows(buf, idx, onehot_max_rows=8192):
     """Row gather via one-hot matmul.
 
     TPU gathers/vmapped dynamic_slices lower to SEQUENTIAL while-loops
     (measured ~1.4 ms per 512-row gather in the frame step); a (GP, NF)
     one-hot times (NF, K) runs on the MXU in microseconds. Exact for the
     selection (one-hot rows pick a single source row; HIGHEST keeps f32
-    values at f32 precision)."""
+    values at f32 precision).
+
+    The one-hot is (len(idx), NF) — above `onehot_max_rows` source rows its
+    construction/traffic dominates (e.g. the hybrid's MAX_EDGE_AGE=1000
+    feature ring: 49k x 96k would be ~9 GB) and the plain gather wins."""
     NF = buf.shape[0]
+    if NF > onehot_max_rows:
+        return buf[idx]
     flat = buf.reshape(NF, -1)
     oh = (idx[:, None] == jnp.arange(NF, dtype=idx.dtype)[None, :]
           ).astype(flat.dtype)

@@ -269,6 +269,10 @@ def corr_fused(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
             # recover the raw maps from the padded slabs
             fmap1 = fp1[:, TY:TY + H1, TX:TX + W1, :]
             fmap2 = fp2[:, TY:TY + H2, TX:TX + W2, :]
+        if g9 is not None:
+            # pre-gathered patches: kk_slot may be remapped/meaningless
+            gmap = g9.reshape(E, P, P, g9.shape[-1])
+            kk_slot = jnp.arange(E, dtype=jnp.int32)
         c1 = corr_xla(gmap, fmap1, coords, kk_slot, jj_slot, radius=radius)
         c2 = corr_xla(gmap, fmap2, coords / 4.0, kk_slot, jj_slot,
                       radius=radius)

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from ..models.vonet import DIM, P, RES, VONetParams, init_vonet_params
 from ..models.checkpoint import load_network
 from . import numpy_se3 as nse3
+from ..utils.fetch import fetch
 from .device_vo import init_state, vo_frame, _gp_cap
 
 
@@ -73,7 +74,7 @@ class DeviceVO:
         # BUFFER_SIZE, then one scalar D2H per ~(N - n) frames.
         self._since_check += 1
         if self._last_n + self._since_check + 2 >= self.cfg.BUFFER_SIZE:
-            self._last_n = int(self.st.n)
+            self._last_n = int(fetch(self.st.n))
             self._since_check = 0
             if self._last_n + 2 >= self.cfg.BUFFER_SIZE:
                 raise Exception(
@@ -116,7 +117,7 @@ class DeviceVO:
                             'device_vo.CNT_CAP')
         self._since_check += K
         if self._last_n + self._since_check + 2 >= self.cfg.BUFFER_SIZE:
-            self._last_n = int(self.st.n)
+            self._last_n = int(fetch(self.st.n))
             self._since_check = 0
             if self._last_n + K + 2 >= self.cfg.BUFFER_SIZE:
                 raise Exception(
@@ -155,7 +156,9 @@ class DeviceVO:
                 if k in ('M', 'pmem', 'mem', 'W', 'PCF', 'opt_window',
                          'mixed_precision', 'use_pallas')})
 
-        # the one big readback of the run
+        # the one big readback of the run (poll first: a blocking
+        # fetch on a pending array stalls the tunnel, utils/fetch.py)
+        fetch(self.st.n)
         st = jax.device_get((self.st.poses, self.st.tstamps,
                              self.st.delta_src, self.st.delta_pose,
                              self.st.n, self.st.counter))

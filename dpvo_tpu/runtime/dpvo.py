@@ -25,9 +25,10 @@ from .. import lie
 from ..models.checkpoint import load_network
 from ..models.vonet import DIM, P, RES, VONetParams, init_vonet_params
 from . import numpy_se3 as nse3
-from .state import (edge_bucket, frame_step, gather_rows, patchify_step,
-                    probe_median_delta, shift_frames, store_frame,
-                    update_step)
+from ..utils.fetch import fetch, fetch_copy
+from .state import (REMAP_CAP, edge_bucket, frame_step, gather_rows,
+                    patchify_step, probe_median_delta, shift_frames,
+                    store_frame, update_step)
 
 
 class DPVO:
@@ -248,13 +249,29 @@ class DPVO:
             cap = max(cap, CHUNK)
             cap = -(-cap // CHUNK) * CHUNK
 
-        tab = np.zeros((11, cap), np.int32)
+        tab = np.zeros((12, cap), np.int32)
         tab[9, :E] = E_real_mask        # row 9: mask
         tab[10, :] = -1                 # row 10: device-row perm (caller fills)
 
         kk_frame = kk // M
         kk_slot = (kk_frame % pmem) * M + kk % M
         jj_slot = jj % mem
+
+        # big feature rings (LOOP_CLOSURE: pmem = MAX_EDGE_AGE) defeat both
+        # gather strategies on TPU — direct E-row gathers lower to a
+        # sequential loop (~75 ms at E=49k) and a full one-hot would be
+        # ~9 GB. Remap: gather the <=REMAP_CAP distinct source frames'
+        # blocks first (tiny one-hot over pmem), then edge-gather from the
+        # compacted table. Row 11 carries the used-frame slot list.
+        remap = False
+        if pmem * M > 8192 and E > 0:
+            uf = np.unique(kk_frame[:E] % pmem)
+            if len(uf) <= REMAP_CAP:
+                remap = True
+                lut = np.zeros(pmem, np.int64)
+                lut[uf] = np.arange(len(uf))
+                kk_slot = lut[kk_frame % pmem] * M + kk % M
+                tab[11, :len(uf)] = uf
 
         # temporal neighbors: same patch, adjacent jj (stable by insertion
         # order of REAL edges; dummies excluded)
@@ -300,7 +317,7 @@ class DPVO:
         tab[6, E:] = -1
         tab[7, :E] = kk_ids
         tab[8, :E] = pair_ids
-        return tab, cap, pad_pos
+        return tab, cap, pad_pos, remap
 
     # ------------------------------------------------------------------ #
     # edge lifecycle (reference dpvo.py:215-238, 362-375)
@@ -329,8 +346,8 @@ class DPVO:
         if store and self.cfg.LOOP_CLOSURE:
             # fetch freshest target/weight rows for the retired edges
             self._flush_pending()
-            tw = np.asarray(self.target_dev)[:len(self.ii)][m]
-            ww = np.asarray(self.weight_dev)[:len(self.ii)][m]
+            tw = fetch(self.target_dev)[:len(self.ii)][m]
+            ww = fetch(self.weight_dev)[:len(self.ii)][m]
             self.ii_inac = np.concatenate([self.ii_inac, self.ii[m]])
             self.jj_inac = np.concatenate([self.jj_inac, self.jj[m]])
             self.kk_inac = np.concatenate([self.kk_inac, self.kk[m]])
@@ -402,9 +419,9 @@ class DPVO:
         steady-state per-frame path runs fused inside frame_step)."""
         self._sort_edges()          # corr_fused groups edges by target slot
         self._flush_pending()
-        tab_np, cap, _ = self._edge_table(self.ii, self.jj, self.kk)
+        tab_np, cap, _, remap = self._edge_table(self.ii, self.jj, self.kk)
         tab_full = jnp.asarray(tab_np)
-        tab = tab_full[:9]
+        tab = tab_full
         mask = tab_full[9].astype(bool)
 
         # long-range edges trigger global BA (reference dpvo.py:345-354)
@@ -427,18 +444,19 @@ class DPVO:
             W=self.W_CAP, PC=self.PC_CAP, iterations=2,
             run_ba=run_ba and not use_global,
             mixed_precision=self.cfg.MIXED_PRECISION,
-            corr_mode=self._corr_mode, oracle=self._oracle)
+            corr_mode=self._corr_mode, oracle=self._oracle,
+            gmap_remap=remap, M=self.M)
 
         if use_global:
             self._run_global_ba()
             # global BA touches all patches; refresh the whole mirror
-            self.depth_np = np.array(self.depth_dev)
-            self.poses_np = np.array(self.poses_dev)
+            self.depth_np = fetch_copy(self.depth_dev)
+            self.poses_np = fetch_copy(self.poses_dev)
             return
 
         # refresh host mirrors (one small D2H per frame)
-        self.poses_np = np.array(self.poses_dev)
-        dwin = np.asarray(jax.lax.dynamic_slice(
+        self.poses_np = fetch_copy(self.poses_dev)
+        dwin = fetch(jax.lax.dynamic_slice(
             self.depth_dev, (patch_base,), (self.PC_CAP,)))
         self.depth_np[patch_base:patch_base + self.PC_CAP] = dwin
 
@@ -450,8 +468,8 @@ class DPVO:
         self.normalize()
 
         E = len(self.ii)
-        targ = np.asarray(self.target_dev)[:E]
-        wgt = np.asarray(self.weight_dev)[:E]
+        targ = fetch(self.target_dev)[:E]
+        wgt = fetch(self.weight_dev)[:E]
         full_ii = np.concatenate([self.ii_inac, self.ii])
         full_jj = np.concatenate([self.jj_inac, self.jj])
         full_kk = np.concatenate([self.kk_inac, self.kk])
@@ -470,7 +488,7 @@ class DPVO:
         (reference patchgraph.py:84-95): mean inverse depth -> 1, rebase to
         pose 0."""
         n, M = self.n, self.M
-        d = np.asarray(self.depth_dev)[:n * M]
+        d = fetch(self.depth_dev)[:n * M]
         s = float(d.mean())
         if not np.isfinite(s) or s <= 0:
             return
@@ -496,9 +514,9 @@ class DPVO:
         """Median update-magnitude on probe edges (reference dpvo.py:240-255)."""
         kk = np.arange(self.m - self.M, self.m, dtype=np.int32)
         jj = np.full_like(kk, self.n)
-        tab_np, cap, _ = self._edge_table(kk // self.M, jj, kk)
+        tab_np, cap, _, remap = self._edge_table(kk // self.M, jj, kk)
         tab_full = jnp.asarray(tab_np)
-        tab = tab_full[:9]
+        tab = tab_full
         mask = tab_full[9].astype(bool)
         net = jnp.zeros((cap, DIM), self.net_dev.dtype)
         out = update_step(
@@ -508,9 +526,10 @@ class DPVO:
             jnp.int32(1), jnp.int32(self.n), jnp.int32(0),
             W=self.W_CAP, PC=self.PC_CAP, iterations=2, run_ba=False,
             mixed_precision=self.cfg.MIXED_PRECISION,
-            corr_mode=self._corr_mode, oracle=self._oracle)
+            corr_mode=self._corr_mode, oracle=self._oracle,
+            gmap_remap=remap, M=self.M)
         _, self.poses_dev, self.depth_dev, _, _, delta = out
-        return float(probe_median_delta(delta, mask))
+        return float(fetch(probe_median_delta(delta, mask)))
 
     # ------------------------------------------------------------------ #
     # keyframing (reference dpvo.py:266-310)
@@ -673,8 +692,8 @@ class DPVO:
             # global BA syncs anyway: finish this frame's post-step inline
             self._apply_mirror(mirror, ns, t0, pb, aw)
             self._run_global_ba()
-            self.depth_np = np.array(self.depth_dev)
-            self.poses_np = np.array(self.poses_dev)
+            self.depth_np = fetch_copy(self.depth_dev)
+            self.poses_np = fetch_copy(self.poses_dev)
             self.keyframe()
             if self.viewer is not None and self.n % 3 == 0:
                 self._push_viewer_state()
@@ -716,13 +735,14 @@ class DPVO:
         grouped = self._corr_mode == 'grouped'
         if do_update:
             self._sort_edges()
-            tab, cap, pad_pos = self._edge_table(
+            tab, cap, pad_pos, remap = self._edge_table(
                 self.ii, self.jj, self.kk, grouped=grouped)
         else:
             cap = edge_bucket(max(len(self.ii), 1))
-            tab = np.zeros((11, cap), np.int32)
+            tab = np.zeros((12, cap), np.int32)
             tab[10, :] = -1
             pad_pos = np.arange(len(self.ii))
+            remap = False
 
         tab[10, pad_pos] = self._host_to_dev    # row 10: device-row perm
         tab_dev = jnp.asarray(tab)               # ONE H2D for all edge data
@@ -749,7 +769,8 @@ class DPVO:
             W=self.W_CAP, PC=self.PC_CAP, iterations=2, run_ba=run_ba,
             do_update=do_update, mixed_precision=self.cfg.MIXED_PRECISION,
             M=self.M, pmem=self.pmem, mem=self.mem,
-            corr_mode=self._corr_mode, oracle=self._oracle)
+            corr_mode=self._corr_mode, oracle=self._oracle,
+            gmap_remap=remap)
 
         self._pending_kf_k = -1
         self._host_to_dev = pad_pos.astype(np.int32)
@@ -762,7 +783,7 @@ class DPVO:
 
         Slice starts are clamped identically on device (state.py frame_step),
         so row 0 of each window corresponds to the host-computed start."""
-        m = np.asarray(mirror)
+        m = fetch(mirror)
         W2 = self.W_CAP + 2
         if apply_windows:
             ps = min(t0, self.N - W2)

@@ -110,15 +110,40 @@ def _reproject(poses, patch_xy, depth, intrinsics, ii, jj, kk):
     return jnp.stack([x1, y1], axis=-1)
 
 
+
+REMAP_CAP = 96      # max distinct source frames in a remapped edge table
+
+
+def _gather_patch_rows(buf, kk_slot, used_frames, M, remap):
+    """Per-edge row gather from a frame-blocked feature ring (pmem*M rows).
+
+    remap=False: one-hot MXU gather (TPU lowers plain E-row gathers to
+    sequential loops). remap=True (big rings, LOOP_CLOSURE's
+    pmem=MAX_EDGE_AGE): two-stage — gather the <=REMAP_CAP used frames'
+    M-row blocks first (tiny one-hot over the ring's frame count), then
+    edge-gather from the compacted table with kk_slot already remapped by
+    the host (runtime/dpvo.py:_edge_table)."""
+    from ..ba_pairs import gather_rows
+    rows = buf.shape[0]
+    flat = buf.reshape(rows, -1)
+    if remap:
+        nf = rows // M
+        sub = gather_rows(flat.reshape(nf, M * flat.shape[1]), used_frames)
+        sub = sub.reshape(REMAP_CAP * M, flat.shape[1])
+        return gather_rows(sub, kk_slot, onehot_max_rows=REMAP_CAP * M)
+    return gather_rows(flat, kk_slot)
+
+
 @partial(jax.jit,
          static_argnames=('W', 'PC', 'iterations', 'run_ba',
-                          'mixed_precision', 'corr_mode', 'oracle'),
+                          'mixed_precision', 'corr_mode', 'oracle',
+                          'gmap_remap', 'M'),
          donate_argnames=('poses', 'depth', 'net'))
 def update_step(params, poses, patch_xy, depth, intrinsics,
                 imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
                 net, edge_table, mask, t0, t1, patch_base,
                 *, W, PC, iterations=2, run_ba=True, mixed_precision=True,
-                corr_mode='pallas', oracle=None):
+                corr_mode='pallas', oracle=None, gmap_remap=False, M=None):
     """One tracking/BA iteration over the (padded) active edge table.
 
     edge_table: (9, E) int32 rows [ii, jj, kk, kk_slot, jj_slot, ix, jx,
@@ -131,7 +156,9 @@ def update_step(params, poses, patch_xy, depth, intrinsics,
     (windows, keyframing, BA, termination) toward a known ground-truth
     trajectory without a trained checkpoint.
     """
-    ii, jj, kk, kk_slot, jj_slot, ix, jx, kk_ids, pair_ids = edge_table
+    used_frames = edge_table[11][:REMAP_CAP] if edge_table.shape[0] > 11 \
+        else None
+    ii, jj, kk, kk_slot, jj_slot, ix, jx, kk_ids, pair_ids = edge_table[:9]
 
     coords = _reproject(poses, patch_xy, depth, intrinsics, ii, jj, kk)
 
@@ -151,10 +178,9 @@ def update_step(params, poses, patch_xy, depth, intrinsics,
 
     gmap_flat = gmap_buf                                  # (pmem*M, P, P, 128)
     if corr_mode == 'fused':
-        from ..ba_pairs import gather_rows
         from ..ops.corr_fused import corr_fused
-        # one-hot MXU gather: TPU lowers E-row gathers to sequential loops
-        g9 = gather_rows(gmap_flat.reshape(gmap_flat.shape[0], -1), kk_slot)
+        g9 = _gather_patch_rows(gmap_flat, kk_slot, used_frames, M,
+                                gmap_remap)
         c1, c2 = corr_fused(gmap_flat, fmap1_buf, fmap2_buf, coords,
                             kk_slot, jj_slot,
                             g9=g9.reshape(kk_slot.shape[0], P * P, -1))
@@ -173,8 +199,7 @@ def update_step(params, poses, patch_xy, depth, intrinsics,
     # reference layout: stack levels last, flatten (dx, dy, py, px, lvl)
     corr_feat = jnp.stack([c1, c2], axis=-1).reshape(coords.shape[0], -1)
 
-    from ..ba_pairs import gather_rows as _gr
-    inp = _gr(imap_buf, kk_slot)
+    inp = _gather_patch_rows(imap_buf, kk_slot, used_frames, M, gmap_remap)
     E = ii.shape[0]
     net, delta, weight = update_op(
         params, net, inp, corr_feat, ix, jx, kk_ids, pair_ids,
@@ -288,7 +313,7 @@ def _shift_frames_impl(poses, patch_xy, depth, intrinsics, imap_buf, gmap_buf,
 @partial(jax.jit,
          static_argnames=('W', 'PC', 'iterations', 'run_ba', 'do_update',
                           'mixed_precision', 'M', 'pmem', 'mem', 'corr_mode',
-                          'oracle'),
+                          'oracle', 'gmap_remap'),
          donate_argnames=('poses', 'patch_xy', 'depth', 'intrinsics',
                           'imap_buf', 'gmap_buf', 'fmap1_buf', 'fmap2_buf',
                           'net', 'target_buf', 'weight_buf'))
@@ -300,7 +325,7 @@ def frame_step(params, poses, patch_xy, depth, intrinsics,
                n, imap_slot, fmap_slot, t0, patch_base, kf_k,
                *, W, PC, iterations=2, run_ba=True, do_update=True,
                mixed_precision=True, M, pmem, mem, corr_mode='grouped',
-               oracle=None):
+               oracle=None, gmap_remap=False):
     """ONE dispatch per tracked frame (tunnel-latency optimization).
 
     Fuses, in order: (a) the previous frame's keyframe-removal buffer shift
@@ -378,10 +403,10 @@ def frame_step(params, poses, patch_xy, depth, intrinsics,
         coords_r = _reproject(poses, patch_xy, depth, intrinsics, ii, jj, kk)
 
         if corr_mode == 'fused':
-            from ..ba_pairs import gather_rows
             from ..ops.corr_fused import corr_fused
-            g9 = gather_rows(gmap_buf.reshape(gmap_buf.shape[0], -1),
-                             kk_slot)
+            used_frames = edge_table[11][:REMAP_CAP]
+            g9 = _gather_patch_rows(gmap_buf, kk_slot, used_frames, M,
+                                    gmap_remap)
             c1, c2 = corr_fused(gmap_buf, fmap1_buf, fmap2_buf, coords_r,
                                 kk_slot, jj_slot,
                                 g9=g9.reshape(kk_slot.shape[0], P * P, -1))
@@ -409,8 +434,8 @@ def frame_step(params, poses, patch_xy, depth, intrinsics,
         corr_feat = jnp.stack([c1, c2], axis=-1).reshape(
             coords_r.shape[0], -1)
 
-        from ..ba_pairs import gather_rows as _gr
-        inp = _gr(imap_buf, kk_slot)
+        inp = _gather_patch_rows(imap_buf, kk_slot,
+                                 edge_table[11][:REMAP_CAP], M, gmap_remap)
         E = ii.shape[0]
         net, delta, weight = update_op(
             params, net, inp, corr_feat, ix, jx, kk_ids, pair_ids,
