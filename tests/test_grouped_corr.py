@@ -47,7 +47,7 @@ def test_edge_table_grouping():
     kk = np.arange(len(jj), dtype=np.int32)
     ii = kk // slam.M
     slam.ii, slam.jj, slam.kk = ii.astype(np.int32), jj.astype(np.int32), kk
-    tab, cap, pad_pos = slam._edge_table(slam.ii, slam.jj, slam.kk,
+    tab, cap, pad_pos, _ = slam._edge_table(slam.ii, slam.jj, slam.kk,
                                          grouped=True)
     tab = np.asarray(tab)
     mask = tab[9].astype(bool)
