@@ -131,6 +131,8 @@ def _planes_fused(g9, fp1, fp2, pa, pb, interpret=False):
         grid=(E // EB,),
         in_specs=[
             pl.BlockSpec((EB, P2, C), lambda i, *_: (i, 0, 0)),
+            # ANY (not explicit HBM): measured 26.2 vs 21.1 FPS — the
+            # explicit-HBM constraint costs ~5 FPS end to end
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
