@@ -139,12 +139,12 @@ class DeviceVO:
             jnp.asarray(aux), **self._static)
 
     def _push_viewer_state(self):
-        n = int(self.st.n)
+        n = int(fetch(self.st.n))
         if n < 2:
             return
-        poses_wfc = nse3.inv(np.asarray(self.st.poses[:n]))
+        poses_wfc = nse3.inv(fetch(self.st.poses[:n]))
         pts = self.point_cloud()
-        clr = np.asarray(self.st.colors[:n]).reshape(-1, 3)
+        clr = fetch(self.st.colors[:n]).reshape(-1, 3)
         self.viewer.update_state(poses_wfc, pts, clr)
 
     def terminate(self):
@@ -190,17 +190,17 @@ class DeviceVO:
     # convenience accessors (post-hoc; each is one readback)
     @property
     def n(self):
-        return int(self.st.n) if self.st is not None else 0
+        return int(fetch(self.st.n)) if self.st is not None else 0
 
     def point_cloud(self):
         from .. import projective as pops
         st = self.st
-        n = int(st.n)
+        n = int(fetch(st.n))
         m = n * self.M
-        centers = np.asarray(st.centers[:m])
-        depth = np.asarray(st.depth[:m])
-        poses = np.asarray(st.poses)
-        intr = np.asarray(st.intr)
+        centers = fetch(st.centers[:m])
+        depth = fetch(st.depth[:m])
+        poses = fetch(st.poses)
+        intr = fetch(st.intr)
         xn = (centers[:, 0] - intr[2]) / intr[0]
         yn = (centers[:, 1] - intr[3]) / intr[1]
         pts_c = np.stack([xn, yn, np.ones(m)], -1) / np.maximum(
@@ -210,6 +210,6 @@ class DeviceVO:
         return nse3.quat_rotate(c2w[:, 3:7], pts_c) + c2w[:, :3]
 
     def colors(self):
-        n = int(self.st.n)
-        clr = np.asarray(self.st.colors[:n])
+        n = int(fetch(self.st.n))
+        clr = fetch(self.st.colors[:n])
         return np.clip(clr[..., [2, 1, 0]], 0, 255).astype(np.uint8)
