@@ -109,7 +109,7 @@ def flops_per_frame(cfg, H, W):
     BA iterations. Elementwise work is excluded (MFU convention).
     """
     from dpvo_tpu.runtime.device_vo import _gp_cap
-    from dpvo_tpu.ops.corr_fused import WX, WY
+    from dpvo_tpu.ops.corr_fused import WX, WX2, WY
 
     M = cfg.PATCHES_PER_FRAME
     E = _gp_cap(cfg) * M
@@ -125,7 +125,7 @@ def flops_per_frame(cfg, H, W):
         return m
 
     conv = enc(128) + enc(DIM)
-    corr = E * P2 * (2 * WY * WX) * C                       # both levels
+    corr = E * P2 * (WY * WX + WY * WX2) * C                # both levels
     upd = E * DIM * DIM * 14 + E * (2 * 49 * P2) * DIM      # GRU+corr MLP
     ba = 2 * E * (2 * 6 * 6 * 4 + 2 * 6)                    # JtWJ blocks
     return 2.0 * (conv + corr + upd + ba)

@@ -46,10 +46,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 WY = 12     # window rows: 8 taps + 4 rows of patch spread
-WX = 24     # window cols: 8 taps + 7 px alignment slack + 5 cols of spread
+WX = 24     # L1 window cols: 8 taps + 7 px 8-alignment slack + 5 px spread
+WX2 = 16    # L2 window cols: 8 taps + 3 px 4-alignment phase + 5 px budget
 EB = 32     # edges per grid step
 TY = 10     # slab top pad: clamped base min = min(yi)-3 >= -10
-TX = 16     # slab left pad (multiple of 8): 8-aligned base >= -16
+TX = 16     # slab left pad (multiple of 8): aligned base >= -16
 D_MIN = 16  # below this feature-map size, fall back to the XLA path
 
 
@@ -65,6 +66,28 @@ def pad_slab(f):
     return jnp.pad(f, ((0, 0), (TY, Hp - H - TY), (TX, Wp - W - TX), (0, 0)))
 
 
+def pad_hw2(H, W):
+    """Padded level-2 slab dims (phase pair uses the same W padding)."""
+    return H + TY + WY + 4, int(-(-(W + TX + WX2 + 8) // 8) * 8)
+
+
+def pad_slab2(f):
+    """(F, H, W, C) -> (F, 2, Hp, Wp, C) level-2 phase pair.
+
+    Level-2 windows are (WY, WX2=16): a 16-wide window only covers the 8
+    taps + spread if the base is 4-aligned, but bf16 VMEM slices need
+    8-aligned starts — so the slab is held twice, phase B shifted by 4 px
+    in x (any 4-aligned base is 8-aligned in one copy). The L2 slab is
+    small (~1 MB), so the pair fits VMEM easily; the same trick on L1
+    would blow the 16 MB scoped budget."""
+    F, H, W, C = f.shape
+    Hp, Wp = pad_hw2(H, W)
+    fa = jnp.pad(f, ((0, 0), (TY, Hp - H - TY), (TX, Wp - W - TX), (0, 0)))
+    fb = jnp.pad(f, ((0, 0), (TY, Hp - H - TY),
+                     (TX - 4, Wp - W - TX + 4), (0, 0)))
+    return jnp.stack([fa, fb], axis=1)
+
+
 def _plane_kernel(pa_ref, pb_ref,
                   g_ref, f1_hbm, f2_hbm,
                   out1_ref, out2_ref,
@@ -75,7 +98,7 @@ def _plane_kernel(pa_ref, pb_ref,
     MXU for both levels.
 
     Per-edge scalars arrive BIT-PACKED in two int32 streams (pa: jslot 8b |
-    by1 10b | bx1/8 8b; pb: by2 10b | bx2/8 8b) — seven separate
+    by1 10b | bx1/8 8b; pb: by2 10b | bx2s/8 8b | ph2 1b) — seven separate
     SMEM-prefetched streams at E=49k would blow the 1 MB SMEM budget."""
     blk = pl.program_id(0)
 
@@ -103,11 +126,13 @@ def _plane_kernel(pa_ref, pb_ref,
 
         w1 = f1_vmem[pl.ds((pa >> 8) & 0x3FF, WY),
                      pl.ds(pl.multiple_of(((pa >> 18) & 0xFF) * 8, 8), WX), :]
-        w2 = f2_vmem[pl.ds(pb & 0x3FF, WY),
-                     pl.ds(pl.multiple_of(((pb >> 10) & 0xFF) * 8, 8), WX), :]
+        w2 = f2_vmem[(pb >> 18) & 1,
+                     pl.ds(pb & 0x3FF, WY),
+                     pl.ds(pl.multiple_of(((pb >> 10) & 0xFF) * 8, 8),
+                           WX2), :]
         w12 = jnp.concatenate(
             [w1.reshape(WY * WX, f1_vmem.shape[-1]),
-             w2.reshape(WY * WX, f2_vmem.shape[-1])], axis=0)
+             w2.reshape(WY * WX2, f2_vmem.shape[-1])], axis=0)
         p12 = jax.lax.dot_general(
             g, w12, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -122,7 +147,8 @@ def _plane_kernel(pa_ref, pb_ref,
 def _planes_fused(g9, fp1, fp2, pa, pb, interpret=False):
     """(E, P2, WY*WX) bf16 correlation planes for both levels.
 
-    fp1/fp2: (F, Hp, Wp, C) padded slabs (pad_slab).
+    fp1: (F, Hp, Wp, C) padded L1 slab (pad_slab); fp2: (F, 2, Hp2, Wp2, C)
+    level-2 phase pair (pad_slab2).
     pa/pb: bit-packed per-edge scalars (see _plane_kernel); window bases
     are SLAB-LOCAL and 8-aligned."""
     E, P2, C = g9.shape
@@ -138,7 +164,7 @@ def _planes_fused(g9, fp1, fp2, pa, pb, interpret=False):
         ],
         out_specs=[
             pl.BlockSpec((EB, P2, WY * WX), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((EB, P2, WY * WX), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((EB, P2, WY * WX2), lambda i, *_: (i, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM(fp1.shape[1:], fp1.dtype),
@@ -151,21 +177,21 @@ def _planes_fused(g9, fp1, fp2, pa, pb, interpret=False):
         _plane_kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((E, P2, WY * WX), jnp.bfloat16),
-                   jax.ShapeDtypeStruct((E, P2, WY * WX), jnp.bfloat16)],
+                   jax.ShapeDtypeStruct((E, P2, WY * WX2), jnp.bfloat16)],
         interpret=interpret,
     )(pa.astype(jnp.int32), pb.astype(jnp.int32), g9, fp1, fp2)
 
 
-def _window_base(coords, H, W, radius):
+def _window_base(coords, H, W, radius, align=8):
     """Clamped per-edge window base + int/frac parts + in-window offsets.
 
     Integer coords are clamped to [-7, dim+7]: whenever the clamp binds,
     every tap of that pixel is out of image (masked to zero), so results
     are unchanged while bases stay within the padded slab and the in-window
-    offsets collapse to oy in [0, 4], ox in [0, 12].
+    offsets collapse to oy in [0, 4], ox in [0, align-1 + 5].
 
     Returns xi, yi (clamped ints), fx, fy, by, bx (slab coords, bx
-    8-aligned), oy, ox.
+    align-aligned), oy, ox.
     """
     E = coords.shape[0]
     cf = jnp.floor(coords)
@@ -174,9 +200,9 @@ def _window_base(coords, H, W, radius):
     xi = jnp.clip(cf[..., 0].astype(jnp.int32).reshape(E, -1), -7, W + 7)
     yi = jnp.clip(cf[..., 1].astype(jnp.int32).reshape(E, -1), -7, H + 7)
     by_img = jnp.min(yi, axis=1) - radius              # [-10, H+4]
-    bx_img = ((jnp.min(xi, axis=1) - radius) // 8) * 8   # [-16, W+4]
+    bx_img = ((jnp.min(xi, axis=1) - radius) // align) * align
     oy = yi - radius - by_img[:, None]                 # [0, y-spread]
-    ox = xi - radius - bx_img[:, None]                 # [0, 7 + x-spread]
+    ox = xi - radius - bx_img[:, None]                 # [0, align-1 + spread]
     return xi, yi, fx, fy, by_img + TY, bx_img + TX, oy, ox
 
 
@@ -199,6 +225,7 @@ def _select_taps(plane, xi, yi, fx, fy, oy, ox, H, W, radius, P):
     E, P2 = xi.shape
     D = 2 * radius + 2          # 8 integer taps per axis
     d = 2 * radius + 1          # 7 bilinear outputs per axis
+    Wx = plane.shape[3]         # window cols (WX for L1, WX2 for L2)
     cdt = plane.dtype
 
     ar = jnp.arange(D)
@@ -217,7 +244,7 @@ def _select_taps(plane, xi, yi, fx, fy, oy, ox, H, W, radius, P):
     bxc = fxc[..., None] * vx[..., 1:]
 
     # y pass: t1[e,p,i,x] = ay*plane[oy+i, x] + by*plane[oy+i+1, x]
-    t1 = jnp.zeros((E, P2, d, WX), cdt)
+    t1 = jnp.zeros((E, P2, d, Wx), cdt)
     for s in range(0, WY - D + 1):                         # oy in [0, 4]
         m = (oy == s).astype(cdt)[..., None, None]         # (E,P2,1,1)
         lo = jax.lax.slice_in_dim(plane, s, s + d, axis=2)
@@ -226,7 +253,7 @@ def _select_taps(plane, xi, yi, fx, fy, oy, ox, H, W, radius, P):
 
     # x pass: out[e,p,i,j] = ax*t1[..., ox+j] + bx*t1[..., ox+j+1]
     out = jnp.zeros((E, P2, d, d), jnp.float32)
-    for s in range(0, WX - D + 1):                         # ox in [0, 12]
+    for s in range(0, Wx - D + 1):                         # ox in [0, Wx-8]
         m = (ox == s).astype(cdt)[..., None, None]
         lo = jax.lax.slice_in_dim(t1, s, s + d, axis=3)
         hi = jax.lax.slice_in_dim(t1, s + 1, s + 1 + d, axis=3)
@@ -270,7 +297,7 @@ def corr_fused(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
         if prepadded is not None:
             # recover the raw maps from the padded slabs
             fmap1 = fp1[:, TY:TY + H1, TX:TX + W1, :]
-            fmap2 = fp2[:, TY:TY + H2, TX:TX + W2, :]
+            fmap2 = fp2[:, 0, TY:TY + H2, TX:TX + W2, :]
         if g9 is not None:
             # pre-gathered patches: kk_slot may be remapped/meaningless
             gmap = g9.reshape(E, P, P, g9.shape[-1])
@@ -282,19 +309,23 @@ def corr_fused(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
 
     if prepadded is None:
         fp1 = pad_slab(fmap1)
-        fp2 = pad_slab(fmap2)
+        fp2 = pad_slab2(fmap2)
 
     xi1, yi1, fx1, fy1, by1, bx1, oy1, ox1 = \
         _window_base(coords, H1, W1, radius)
     xi2, yi2, fx2, fy2, by2, bx2, oy2, ox2 = \
-        _window_base(coords / 4.0, H2, W2, radius)
+        _window_base(coords / 4.0, H2, W2, radius, align=4)
+
+    # L2 phase split: a 4-aligned base is 8-aligned in one of the 2 copies
+    ph2 = (bx2 // 4) % 2
+    bx2s = bx2 - 4 * ph2
 
     # bit-pack the per-edge scalars (2 SMEM streams instead of 5+; see
-    # _plane_kernel). Field widths: slot 8b, by 10b, 8-aligned bx/8 8b —
-    # ample for any realistic pyramid resolution.
+    # _plane_kernel). Field widths: slot 8b, by 10b, aligned bx/8 8b,
+    # L2 phase 1b — ample for any realistic pyramid resolution.
     jsl32 = jj_slot.astype(jnp.int32)
     pa = (jsl32 | (by1 << 8) | ((bx1 // 8) << 18))
-    pb = (by2 | ((bx2 // 8) << 10))
+    pb = (by2 | ((bx2s // 8) << 10) | (ph2 << 18))
 
     if g9 is None:
         g9 = gmap[kk_slot].reshape(E, P * P, gmap.shape[-1])
@@ -311,7 +342,7 @@ def corr_fused(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
     plane1, plane2 = _planes_fused(g9, fp1, fp2, pa, pb,
                                    interpret=interpret)
     plane1 = plane1[:E].reshape(E, P * P, WY, WX)
-    plane2 = plane2[:E].reshape(E, P * P, WY, WX)
+    plane2 = plane2[:E].reshape(E, P * P, WY, WX2)
 
     c1 = _select_taps(plane1, xi1, yi1, fx1, fy1, oy1, ox1, H1, W1, radius, P)
     c2 = _select_taps(plane2, xi2, yi2, fx2, fy2, oy2, ox2, H2, W2, radius, P)

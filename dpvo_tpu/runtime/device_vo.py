@@ -31,7 +31,8 @@ import numpy as np
 from .. import lie
 from ..ba_pairs import bundle_adjust_pairs, pair_centers, pair_depth
 from ..models.vonet import DIM, P, patchify_frame, update_op
-from ..ops.corr_fused import corr_fused, pad_hw, pad_slab
+from ..ops.corr_fused import (corr_fused, pad_hw, pad_hw2,
+                              pad_slab, pad_slab2)
 
 CNT_CAP = 16384     # max input frames per sequence
 
@@ -46,7 +47,7 @@ class VOState:
     imap: jnp.ndarray         # (pmem*M, DIM) bf16
     gmap: jnp.ndarray         # (pmem*M, P, P, 128) bf16
     fmap1: jnp.ndarray        # (mem, Hp4, Wp4, 128) bf16, padded (pad_hw)
-    fmap2: jnp.ndarray        # (mem, Hp16, Wp16, 128) bf16, padded
+    fmap2: jnp.ndarray        # (mem, 2, Hp16, Wp16, 128) phase pair
     pi: jnp.ndarray           # (GP,) int32 source frame per pair
     pj: jnp.ndarray           # (GP,) int32 target frame per pair
     pvalid: jnp.ndarray       # (GP,) bool
@@ -97,7 +98,7 @@ def init_state(cfg, ht, wd, intrinsics):
         # feature slabs live PRE-PADDED (corr_fused pad_slab): the border
         # padding happens once per stored frame, not per corr call
         fmap1=jnp.zeros((mem,) + pad_hw(ht4, wd4) + (128,), f16),
-        fmap2=jnp.zeros((mem,) + pad_hw(ht4 // 4, wd4 // 4) + (128,), f16),
+        fmap2=jnp.zeros((mem, 2) + pad_hw2(ht4 // 4, wd4 // 4) + (128,), f16),
         pi=jnp.zeros((GP,), jnp.int32),
         pj=jnp.zeros((GP,), jnp.int32),
         pvalid=jnp.zeros((GP,), bool),
@@ -333,8 +334,8 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
         st.fmap1, pad_slab(feats['fmap1'][None].astype(st.fmap1.dtype)),
         (slot, 0, 0, 0))
     st.fmap2 = jax.lax.dynamic_update_slice(
-        st.fmap2, pad_slab(feats['fmap2'][None].astype(st.fmap2.dtype)),
-        (slot, 0, 0, 0))
+        st.fmap2, pad_slab2(feats['fmap2'][None].astype(st.fmap2.dtype)),
+        (slot, 0, 0, 0, 0))
 
     # ---------------- probe (pre-init accept test) ---------------- #
     def corr_two_level(pi_a, pj_a, pv_a, net_a, poses, depth):
