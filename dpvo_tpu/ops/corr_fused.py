@@ -48,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 WY = 12     # window rows: 8 taps + 4 rows of patch spread
 WX = 24     # L1 window cols: 8 taps + 7 px 8-alignment slack + 5 px spread
 WX2 = 16    # L2 window cols: 8 taps + 3 px 4-alignment phase + 5 px budget
+WY2 = 10    # L2 window rows: 8 taps + 2 rows of spread (spread/4 at L2)
 EB = 32     # edges per grid step
 TY = 10     # slab top pad: clamped base min = min(yi)-3 >= -10
 TX = 16     # slab left pad (multiple of 8): aligned base >= -16
@@ -68,7 +69,7 @@ def pad_slab(f):
 
 def pad_hw2(H, W):
     """Padded level-2 slab dims (phase pair uses the same W padding)."""
-    return H + TY + WY + 4, int(-(-(W + TX + WX2 + 8) // 8) * 8)
+    return H + TY + WY2 + 4, int(-(-(W + TX + WX2 + 8) // 8) * 8)
 
 
 def pad_slab2(f):
@@ -127,12 +128,12 @@ def _plane_kernel(pa_ref, pb_ref,
         w1 = f1_vmem[pl.ds((pa >> 8) & 0x3FF, WY),
                      pl.ds(pl.multiple_of(((pa >> 18) & 0xFF) * 8, 8), WX), :]
         w2 = f2_vmem[(pb >> 18) & 1,
-                     pl.ds(pb & 0x3FF, WY),
+                     pl.ds(pb & 0x3FF, WY2),
                      pl.ds(pl.multiple_of(((pb >> 10) & 0xFF) * 8, 8),
                            WX2), :]
         w12 = jnp.concatenate(
             [w1.reshape(WY * WX, f1_vmem.shape[-1]),
-             w2.reshape(WY * WX2, f2_vmem.shape[-1])], axis=0)
+             w2.reshape(WY2 * WX2, f2_vmem.shape[-1])], axis=0)
         p12 = jax.lax.dot_general(
             g, w12, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -164,7 +165,7 @@ def _planes_fused(g9, fp1, fp2, pa, pb, interpret=False):
         ],
         out_specs=[
             pl.BlockSpec((EB, P2, WY * WX), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((EB, P2, WY * WX2), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((EB, P2, WY2 * WX2), lambda i, *_: (i, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM(fp1.shape[1:], fp1.dtype),
@@ -177,12 +178,12 @@ def _planes_fused(g9, fp1, fp2, pa, pb, interpret=False):
         _plane_kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((E, P2, WY * WX), jnp.bfloat16),
-                   jax.ShapeDtypeStruct((E, P2, WY * WX2), jnp.bfloat16)],
+                   jax.ShapeDtypeStruct((E, P2, WY2 * WX2), jnp.bfloat16)],
         interpret=interpret,
     )(pa.astype(jnp.int32), pb.astype(jnp.int32), g9, fp1, fp2)
 
 
-def _window_base(coords, H, W, radius, align=8):
+def _window_base(coords, H, W, radius, align=8, wy=WY):
     """Clamped per-edge window base + int/frac parts + in-window offsets.
 
     Integer coords are clamped to [-7, dim+7]: whenever the clamp binds,
@@ -200,6 +201,7 @@ def _window_base(coords, H, W, radius, align=8):
     xi = jnp.clip(cf[..., 0].astype(jnp.int32).reshape(E, -1), -7, W + 7)
     yi = jnp.clip(cf[..., 1].astype(jnp.int32).reshape(E, -1), -7, H + 7)
     by_img = jnp.min(yi, axis=1) - radius              # [-10, H+4]
+    del wy  # slab bottom margin (pad_hw*) already covers by_img + rows
     bx_img = ((jnp.min(xi, axis=1) - radius) // align) * align
     oy = yi - radius - by_img[:, None]                 # [0, y-spread]
     ox = xi - radius - bx_img[:, None]                 # [0, align-1 + spread]
@@ -225,6 +227,7 @@ def _select_taps(plane, xi, yi, fx, fy, oy, ox, H, W, radius, P):
     E, P2 = xi.shape
     D = 2 * radius + 2          # 8 integer taps per axis
     d = 2 * radius + 1          # 7 bilinear outputs per axis
+    Wy = plane.shape[2]         # window rows (WY for L1, WY2 for L2)
     Wx = plane.shape[3]         # window cols (WX for L1, WX2 for L2)
     cdt = plane.dtype
 
@@ -245,7 +248,7 @@ def _select_taps(plane, xi, yi, fx, fy, oy, ox, H, W, radius, P):
 
     # y pass: t1[e,p,i,x] = ay*plane[oy+i, x] + by*plane[oy+i+1, x]
     t1 = jnp.zeros((E, P2, d, Wx), cdt)
-    for s in range(0, WY - D + 1):                         # oy in [0, 4]
+    for s in range(0, Wy - D + 1):                         # oy in [0, Wy-8]
         m = (oy == s).astype(cdt)[..., None, None]         # (E,P2,1,1)
         lo = jax.lax.slice_in_dim(plane, s, s + d, axis=2)
         hi = jax.lax.slice_in_dim(plane, s + 1, s + 1 + d, axis=2)
@@ -314,7 +317,7 @@ def corr_fused(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
     xi1, yi1, fx1, fy1, by1, bx1, oy1, ox1 = \
         _window_base(coords, H1, W1, radius)
     xi2, yi2, fx2, fy2, by2, bx2, oy2, ox2 = \
-        _window_base(coords / 4.0, H2, W2, radius, align=4)
+        _window_base(coords / 4.0, H2, W2, radius, align=4, wy=WY2)
 
     # L2 phase split: a 4-aligned base is 8-aligned in one of the 2 copies
     ph2 = (bx2 // 4) % 2
@@ -342,7 +345,7 @@ def corr_fused(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
     plane1, plane2 = _planes_fused(g9, fp1, fp2, pa, pb,
                                    interpret=interpret)
     plane1 = plane1[:E].reshape(E, P * P, WY, WX)
-    plane2 = plane2[:E].reshape(E, P * P, WY, WX2)
+    plane2 = plane2[:E].reshape(E, P * P, WY2, WX2)
 
     c1 = _select_taps(plane1, xi1, yi1, fx1, fy1, oy1, ox1, H1, W1, radius, P)
     c2 = _select_taps(plane2, xi2, yi2, fx2, fy2, oy2, ox2, H2, W2, radius, P)
