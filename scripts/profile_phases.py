@@ -6,9 +6,12 @@ import numpy as np
 import jax
 
 from dpvo_tpu.config import cfg
-from dpvo_tpu.runtime import DPVO
+from dpvo_tpu.runtime import HybridVO as DPVO
 from dpvo_tpu.runtime import dpvo as dpvo_mod
 
+# this script instruments the HYBRID runtime's internals (_fused_step
+# etc.); for the device-resident runtime use scripts/profile_hybrid.py /
+# bench.py --profile instead
 cfg.merge_from_file('config/default.yaml')
 
 
