@@ -13,9 +13,11 @@ bottlenecks of corr_mxu on v5e:
     (edges must arrive grouped by target slot — the runtimes sort pairs by
     target, see device_vo), the gathered source patches, and the bf16
     correlation planes.
-  * bf16 VMEM slicing wants 8-aligned column starts, so the window is
+  * bf16 VMEM slicing wants 8-aligned column starts, so the L1 window is
     (WY, WX) = (12, 24): 8 integer taps + up to 7 px of 8-alignment slack +
-    5 px of patch spread in x; 8 taps + 4 px spread in y (rows slice freely).
+    5 px of patch spread in x; 8 taps + 4 px spread in y (rows slice
+    freely). Level 2 (4x coarser coords, tiny slab) holds a 4-px-shifted
+    PHASE PAIR instead, shrinking its window to (WY2, WX2) = (10, 16).
   * the slabs are PADDED (TY rows top, TX cols left, margins bottom/right)
     and the per-edge integer coords CLAMPED to [-7, dim+7] before the base
     computation. Window bases then never clip against the image borders, so
@@ -75,7 +77,7 @@ def pad_hw2(H, W):
 def pad_slab2(f):
     """(F, H, W, C) -> (F, 2, Hp, Wp, C) level-2 phase pair.
 
-    Level-2 windows are (WY, WX2=16): a 16-wide window only covers the 8
+    Level-2 windows are (WY2, WX2) = (10, 16): a 16-wide window covers the 8
     taps + spread if the base is 4-aligned, but bf16 VMEM slices need
     8-aligned starts — so the slab is held twice, phase B shifted by 4 px
     in x (any 4-aligned base is 8-aligned in one copy). The L2 slab is
