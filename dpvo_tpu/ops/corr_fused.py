@@ -1,10 +1,10 @@
 """Frame-resident fused correlation — kills the per-edge window HBM traffic.
 
-Same op as ops/corr.py / ops/corr_mxu.py (reference CUDA kernel
+Same op as ops/corr.py (reference CUDA kernel
 dpvo/altcorr/correlation_kernel.cu:83-232), restructured around the measured
-bottlenecks of corr_mxu on v5e:
+bottlenecks of earlier window-DMA formulations on v5e:
 
-  * corr_mxu extracts an (E, 16, 24, C) window tensor with one DMA per edge:
+  * extracting an (E, 16, 24, C) window tensor costs one DMA per edge:
     ~96 KB x E of HBM round-trip plus ~0.5 us DMA-issue latency per edge —
     measured ~35 ms/frame at E=67k, dwarfing the actual MXU work.
   * this kernel keeps the TARGET FRAME'S feature map resident in VMEM and
@@ -35,7 +35,7 @@ matmuls and dynamic gathers don't vectorize on TPU).
 Exactness: identical to ops/corr.py at image borders (including negative
 predicted coords) as long as the patch's projected 3x3 spread stays within
 the window budget — y spread <= 4 px, x spread <= 5 px at the feature
-scale. Overflow taps are zeroed (degenerate geometry; corr_mxu's policy).
+scale. Overflow taps are zeroed (degenerate geometry).
 """
 from __future__ import annotations
 

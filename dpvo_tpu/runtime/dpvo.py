@@ -54,7 +54,8 @@ class DPVO:
         self.PC_CAP = (cfg.REMOVAL_WINDOW + 4) * self.M
 
         ### frame memory (reference dpvo.py:57-76) ###
-        self.pmem = self.mem = 36
+        from .device_vo import ring_capacity
+        self.pmem = self.mem = ring_capacity(cfg)
         if cfg.LOOP_CLOSURE:
             self.last_global_ba = -1000
             self.pmem = cfg.MAX_EDGE_AGE
@@ -107,8 +108,8 @@ class DPVO:
         self._pending_kf_k = -1
         self._host_to_dev = np.zeros(0, np.int32)  # edge -> device net row
         self._use_pallas = jax.default_backend() in ('tpu', 'axon')
-        # MXU-formulated corr (ops/corr_mxu.py): no edge sorting / group
-        # padding contract, windows via pallas DMA on TPU / gather on CPU
+        # 'fused' = frame-resident Pallas corr kernel (ops/corr_fused.py);
+        # 'xla' = pure-XLA fallback (ops/corr.py) for CPU/debug runs
         self._corr_mode = 'fused'
         # optional test seam: (poses, patch_xy, depth, intr, ii, jj, kk) ->
         # (target, weight), replacing the learned corr+update path
@@ -198,56 +199,21 @@ class DPVO:
         y = self.rng.randint(1, h4 - 1, M)
         return np.stack([x, y], axis=-1).astype(np.float32)
 
-    def _edge_table(self, ii, jj, kk, grouped=False):
-        """Pack the padded (9, E) int32 edge table + mask (host-side).
+    def _edge_table(self, ii, jj, kk):
+        """Pack the padded (12, E) int32 edge table + mask (host-side).
 
-        Rows: ii, jj, kk, kk_slot, jj_slot, ix, jx, kk_ids, pair_ids.
+        Rows: ii, jj, kk, kk_slot, jj_slot, ix, jx, kk_ids, pair_ids,
+        mask, device-row perm, used-frame slots (remap).
         Replaces the reference's device-side torch.unique / fastba.neighbors
         round trips (net.py:80-88) with host precomputation.
-
-        grouped=True additionally pads each run of equal target ring slot to
-        a CHUNK multiple (contract of the grouped Pallas corr kernel) and
-        returns `pad_pos`, the padded position of every input edge. Dummy
-        rows copy a real edge of the same group (safe compute, mask False).
         """
-        from ..ops.corr_pallas import CHUNK
-
         E = len(ii)
         M, pmem, mem = self.M, self.pmem, self.mem
 
-        if grouped and E > 0:
-            jsl = jj % mem
-            # group boundaries over the (already sorted) slot array
-            change = np.nonzero(np.diff(jsl))[0] + 1
-            starts = np.concatenate([[0], change])
-            ends = np.concatenate([change, [E]])
-            sizes = ends - starts
-            padded = -(-sizes // CHUNK) * CHUNK
-            offs = np.concatenate([[0], np.cumsum(padded)[:-1]])
-            Epad = int(padded.sum())
-            src_idx = np.zeros(Epad, np.int64)
-            pad_pos = np.zeros(E, np.int64)
-            mask_full = np.zeros(Epad, bool)
-            # dummies copy the first edge of their group (safe compute)
-            for s, e0, o, pz in zip(starts, ends, offs, padded):
-                g = e0 - s
-                src_idx[o:o + g] = np.arange(s, e0)
-                src_idx[o + g:o + pz] = s
-                mask_full[o:o + g] = True
-                pad_pos[s:e0] = np.arange(o, o + g)
-            ii = ii[src_idx]
-            jj = jj[src_idx]
-            kk = kk[src_idx]
-            E_real_mask = mask_full
-            E = Epad
-        else:
-            pad_pos = np.arange(E, dtype=np.int64)
-            E_real_mask = np.ones(E, bool)
+        pad_pos = np.arange(E, dtype=np.int64)
+        E_real_mask = np.ones(E, bool)
 
         cap = edge_bucket(max(E, 1))
-        if grouped:
-            cap = max(cap, CHUNK)
-            cap = -(-cap // CHUNK) * CHUNK
 
         tab = np.zeros((12, cap), np.int32)
         tab[9, :E] = E_real_mask        # row 9: mask
@@ -360,7 +326,8 @@ class DPVO:
 
     def _sort_edges(self):
         """Canonical edge order: sorted by target ring slot (stable). The
-        grouped corr kernel requires same-target edges to be contiguous."""
+        fused corr kernel streams one target-frame VMEM slab per run of
+        equal target slot, so same-target edges must be contiguous."""
         order = np.argsort(self.jj % self.mem, kind='stable').astype(np.int32)
         if len(order) and not np.array_equal(order, np.arange(len(order))):
             self.ii = self.ii[order]
@@ -732,11 +699,10 @@ class DPVO:
     def _fused_step(self, image_dev, coords, pose_init, depth_init, ns,
                     do_update, run_ba):
         """One frame_step dispatch; updates device buffers + host mirrors."""
-        grouped = self._corr_mode == 'grouped'
         if do_update:
             self._sort_edges()
             tab, cap, pad_pos, remap = self._edge_table(
-                self.ii, self.jj, self.kk, grouped=grouped)
+                self.ii, self.jj, self.kk)
         else:
             cap = edge_bucket(max(len(self.ii), 1))
             tab = np.zeros((12, cap), np.int32)

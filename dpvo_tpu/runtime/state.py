@@ -134,6 +134,17 @@ def _gather_patch_rows(buf, kk_slot, used_frames, M, remap):
     return gather_rows(flat, kk_slot)
 
 
+def _remapped_gmap(buf, used_frames, M):
+    """Compact a big (pmem*M, ...) feature ring to the (REMAP_CAP*M, ...)
+    sub-table addressed by host-remapped kk_slot (runtime/dpvo.py
+    _edge_table)."""
+    from ..ba_pairs import gather_rows
+    rows = buf.shape[0]
+    flat = buf.reshape(rows // M, -1)
+    sub = gather_rows(flat, used_frames)
+    return sub.reshape((REMAP_CAP * M,) + buf.shape[1:])
+
+
 @partial(jax.jit,
          static_argnames=('W', 'PC', 'iterations', 'run_ba',
                           'mixed_precision', 'corr_mode', 'oracle',
@@ -143,7 +154,7 @@ def update_step(params, poses, patch_xy, depth, intrinsics,
                 imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
                 net, edge_table, mask, t0, t1, patch_base,
                 *, W, PC, iterations=2, run_ba=True, mixed_precision=True,
-                corr_mode='pallas', oracle=None, gmap_remap=False, M=None):
+                corr_mode='fused', oracle=None, gmap_remap=False, M=None):
     """One tracking/BA iteration over the (padded) active edge table.
 
     edge_table: (9, E) int32 rows [ii, jj, kk, kk_slot, jj_slot, ix, jx,
@@ -184,17 +195,14 @@ def update_step(params, poses, patch_xy, depth, intrinsics,
         c1, c2 = corr_fused(gmap_flat, fmap1_buf, fmap2_buf, coords,
                             kk_slot, jj_slot,
                             g9=g9.reshape(kk_slot.shape[0], P * P, -1))
-    elif corr_mode == 'mxu':
-        from ..ops.corr_mxu import corr_mxu
-        c1 = corr_mxu(gmap_flat, fmap1_buf, coords, kk_slot, jj_slot)
-        c2 = corr_mxu(gmap_flat, fmap2_buf, coords / 4.0, kk_slot, jj_slot)
-    elif corr_mode == 'pallas':
-        from ..ops.corr_pallas import corr_pallas
-        c1 = corr_pallas(gmap_flat, fmap1_buf, coords, kk_slot, jj_slot)
-        c2 = corr_pallas(gmap_flat, fmap2_buf, coords / 4.0, kk_slot, jj_slot)
     else:
-        c1 = corr_op(gmap_flat, fmap1_buf, coords, kk_slot, jj_slot, radius=3)
-        c2 = corr_op(gmap_flat, fmap2_buf, coords / 4.0, kk_slot, jj_slot,
+        # XLA fallback. When the host remapped kk_slot into a compacted
+        # REMAP_CAP-frame table, gather that compacted gmap first so the
+        # remapped slots index the right source patches (ADVICE r1 #1).
+        gsrc = _remapped_gmap(gmap_flat, used_frames, M) if gmap_remap \
+            else gmap_flat
+        c1 = corr_op(gsrc, fmap1_buf, coords, kk_slot, jj_slot, radius=3)
+        c2 = corr_op(gsrc, fmap2_buf, coords / 4.0, kk_slot, jj_slot,
                      radius=3)
     # reference layout: stack levels last, flatten (dx, dy, py, px, lvl)
     corr_feat = jnp.stack([c1, c2], axis=-1).reshape(coords.shape[0], -1)
@@ -324,7 +332,7 @@ def frame_step(params, poses, patch_xy, depth, intrinsics,
                pose_init, intr_row, depth_init,
                n, imap_slot, fmap_slot, t0, patch_base, kf_k,
                *, W, PC, iterations=2, run_ba=True, do_update=True,
-               mixed_precision=True, M, pmem, mem, corr_mode='grouped',
+               mixed_precision=True, M, pmem, mem, corr_mode='fused',
                oracle=None, gmap_remap=False):
     """ONE dispatch per tracked frame (tunnel-latency optimization).
 
@@ -410,26 +418,15 @@ def frame_step(params, poses, patch_xy, depth, intrinsics,
             c1, c2 = corr_fused(gmap_buf, fmap1_buf, fmap2_buf, coords_r,
                                 kk_slot, jj_slot,
                                 g9=g9.reshape(kk_slot.shape[0], P * P, -1))
-        elif corr_mode == 'mxu':
-            from ..ops.corr_mxu import corr_mxu
-            c1 = corr_mxu(gmap_buf, fmap1_buf, coords_r, kk_slot, jj_slot)
-            c2 = corr_mxu(gmap_buf, fmap2_buf, coords_r / 4.0, kk_slot,
-                          jj_slot)
-        elif corr_mode == 'grouped':
-            from ..ops.corr_pallas import corr_pallas_grouped
-            c1 = corr_pallas_grouped(gmap_buf, fmap1_buf, coords_r, kk_slot,
-                                     jj_slot)
-            c2 = corr_pallas_grouped(gmap_buf, fmap2_buf, coords_r / 4.0,
-                                     kk_slot, jj_slot)
-        elif corr_mode == 'pallas':
-            from ..ops.corr_pallas import corr_pallas
-            c1 = corr_pallas(gmap_buf, fmap1_buf, coords_r, kk_slot, jj_slot)
-            c2 = corr_pallas(gmap_buf, fmap2_buf, coords_r / 4.0, kk_slot,
-                             jj_slot)
         else:
-            c1 = corr_op(gmap_buf, fmap1_buf, coords_r, kk_slot, jj_slot,
+            # XLA fallback; honor the host kk_slot remap (ADVICE r1 #1)
+            gsrc = gmap_buf
+            if gmap_remap:
+                gsrc = _remapped_gmap(gmap_buf,
+                                      edge_table[11][:REMAP_CAP], M)
+            c1 = corr_op(gsrc, fmap1_buf, coords_r, kk_slot, jj_slot,
                          radius=3)
-            c2 = corr_op(gmap_buf, fmap2_buf, coords_r / 4.0, kk_slot,
+            c2 = corr_op(gsrc, fmap2_buf, coords_r / 4.0, kk_slot,
                          jj_slot, radius=3)
         corr_feat = jnp.stack([c1, c2], axis=-1).reshape(
             coords_r.shape[0], -1)

@@ -73,7 +73,7 @@ for it in range(12):
         jnp.asarray(tab[:9]), mask,
         jnp.int32(1), jnp.int32(NF), jnp.int32(0),
         W=W_CAP, PC=PC_CAP, iterations=2, run_ba=True,
-        mixed_precision=False, corr_mode='mxu', oracle=oracle)
+        mixed_precision=False, corr_mode='xla', oracle=oracle)
 
 est = np.asarray(poses[:NF])
 gtw = np.asarray(lie.se3_inv(jnp.asarray(gt)))
