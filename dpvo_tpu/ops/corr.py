@@ -55,6 +55,13 @@ def corr(gmap, fmap, coords, ii, jj, radius=3, chunk=_DEFAULT_CHUNK):
     H, W = fmap.shape[1], fmap.shape[2]
     C = fmap.shape[3]
 
+    # never pad a small edge set up to the full chunk: the transient window
+    # tensor is (chunk, P, P, D, D, C) — at the default 4096 that is 1.2 GB,
+    # which dwarfs a 128-edge training-step call (and its gradient) with
+    # pure zero-fill traffic. Bucket E to 128s so the chunk tracks the
+    # problem size while big runtime calls keep the intended tiling.
+    chunk = min(chunk, max(128, -(-E // 128) * 128))
+
     # pad the edge dim to a multiple of the chunk size
     n_chunks = -(-E // chunk)
     Epad = n_chunks * chunk
