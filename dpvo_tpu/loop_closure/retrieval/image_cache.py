@@ -1,9 +1,16 @@
-"""Async JPEG spill cache for full-resolution frames.
+"""Frame spill store for the classical loop-closure backend.
 
-Mirrors the reference ImageCache
-(dpvo/loop_closure/retrieval/image_cache.py:15-72): frames buffer in memory
-until safe, then spill asynchronously to a tmpdir as JPEGs for later
-keypoint extraction; indices follow keyframe compaction.
+Keyframe-indexed full-resolution frames are needed again long after the VO
+runtime has dropped them (keypoint matching when a retrieval hit fires, see
+long_term.py). Keeping hundreds of 640x480 uint8 frames in RAM is wasteful,
+so frames live in memory only while their index can still change under
+keyframe compaction, then spill to JPEG files in a temp directory via a
+single background worker process.
+
+Fulfils the same role as the reference's image cache
+(dpvo/loop_closure/retrieval/image_cache.py:15-72); the implementation is
+our own: a pending-dict + single-slot write pipeline behind an explicit
+spawn context (forking a JAX-multithreaded parent can deadlock the child).
 """
 from __future__ import annotations
 
@@ -14,66 +21,77 @@ from tempfile import TemporaryDirectory
 import cv2
 import numpy as np
 
-IMEXT = '.jpeg'
-JPEG_QUALITY = [int(cv2.IMWRITE_JPEG_QUALITY), 95]
-BLANK = np.zeros((500, 500, 3), dtype=np.uint8)
+
+def _encode_to(path, image, quality):
+    return cv2.imwrite(path, image, [int(cv2.IMWRITE_JPEG_QUALITY), quality])
 
 
 class ImageCache:
+    """Spill store: ``cache(frame, n)`` buffers; ``save_up_to(c)`` spills
+    every buffered frame with index <= c; ``load_frames(idxs)`` reads
+    spilled frames back; ``keyframe(k)`` renumbers pending frames when the
+    runtime removes keyframe k."""
+
+    QUALITY = 95
 
     def __init__(self):
-        self.image_buffer = {}
-        self.tmpdir = TemporaryDirectory()
-        self.stored_indices = np.zeros(100000, dtype=bool)
-        # spawn, not fork: the parent is JAX-multithreaded, and forking a
-        # threaded process can deadlock the child (reference uses a plain
-        # fork Pool under torch, image_cache.py:21)
-        self.writer_pool = mp.get_context('spawn').Pool(processes=1)
-        self.write_result = self.writer_pool.apply_async(
-            cv2.imwrite, [f'{self.tmpdir.name}/warmup.png', BLANK,
-                          JPEG_QUALITY])
-        self._wait()
+        self._pending = {}                    # idx -> HxWx3 uint8 (BGR)
+        self._spilled = set()                 # indices already on disk
+        self._dir = TemporaryDirectory(prefix='dpvo_imcache_')
+        ctx = mp.get_context('spawn')
+        self._worker = ctx.Pool(processes=1)
+        # prime the worker (spawn interpreter start is ~1 s; do it now,
+        # not on the first latency-sensitive spill)
+        self._inflight = self._worker.apply_async(os.getpid, [])
+        self._inflight.wait()
+
+    # -- ingest -------------------------------------------------------- #
 
     def __call__(self, image, n):
-        assert isinstance(image, np.ndarray) and image.dtype == np.uint8
-        assert image.ndim == 3 and image.shape[2] == 3
-        self.image_buffer[n] = image
-
-    def _wait(self):
-        self.write_result.wait()
-
-    def _write_image(self, i):
-        img = self.image_buffer.pop(i)
-        filepath = f'{self.tmpdir.name}/{i:08d}{IMEXT}'
-        assert not os.path.exists(filepath)
-        self._wait()
-        self.write_result = self.writer_pool.apply_async(
-            cv2.imwrite, [filepath, img, JPEG_QUALITY])
-
-    def load_frames(self, idxs):
-        """Returns a list of HxWx3 uint8 BGR images."""
-        self._wait()
-        assert np.all(self.stored_indices[idxs])
-        frame_list = [f'{self.tmpdir.name}/{i:08d}{IMEXT}' for i in idxs]
-        assert all(map(os.path.exists, frame_list))
-        return [cv2.imread(f) for f in frame_list]
+        if not (isinstance(image, np.ndarray) and image.dtype == np.uint8
+                and image.ndim == 3 and image.shape[2] == 3):
+            raise TypeError('ImageCache expects HxWx3 uint8 frames')
+        self._pending[n] = image
 
     def keyframe(self, k):
-        tmp = dict(self.image_buffer)
-        self.image_buffer.clear()
-        for n, v in tmp.items():
-            if n != k:
-                key = (n - 1) if (n > k) else n
-                self.image_buffer[key] = v
+        """Keyframe k was removed: pending indices past k shift down by
+        one, matching the runtime's frame compaction (frame k's own image
+        is dropped — it can no longer be retrieved against)."""
+        self._pending = {
+            (n - 1 if n > k else n): img
+            for n, img in self._pending.items() if n != k
+        }
+
+    # -- spill --------------------------------------------------------- #
+
+    def _path(self, n):
+        return os.path.join(self._dir.name, f'{n:08d}.jpeg')
 
     def save_up_to(self, c):
-        for n in list(self.image_buffer):
-            if n <= c:
-                assert not self.stored_indices[n]
-                self._write_image(n)
-                self.stored_indices[n] = True
+        """Spill every pending frame with index <= c. Past this point the
+        runtime guarantees those indices are final (beyond the keyframe
+        removal window)."""
+        for n in sorted(i for i in self._pending if i <= c):
+            if n in self._spilled:
+                raise RuntimeError(f'frame {n} spilled twice — index '
+                                   'compaction out of sync')
+            img = self._pending.pop(n)
+            self._inflight.wait()            # one write in flight at a time
+            self._inflight = self._worker.apply_async(
+                _encode_to, [self._path(n), img, self.QUALITY])
+            self._spilled.add(n)
+
+    # -- read back ----------------------------------------------------- #
+
+    def load_frames(self, idxs):
+        """List of HxWx3 uint8 BGR frames for spilled indices `idxs`."""
+        self._inflight.wait()                # drain the write pipeline
+        missing = [i for i in idxs if i not in self._spilled]
+        if missing:
+            raise KeyError(f'frames {missing} were never spilled')
+        return [cv2.imread(self._path(i)) for i in idxs]
 
     def close(self):
-        self._wait()
-        self.tmpdir.cleanup()
-        self.writer_pool.close()
+        self._inflight.wait()
+        self._worker.close()
+        self._dir.cleanup()

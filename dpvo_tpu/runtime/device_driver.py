@@ -30,8 +30,10 @@ class DeviceVO:
         from .dpvo import DPVO as _HybridVO
         _HybridVO.load_weights(self, network)   # sets self.params
 
+        from .device_vo import ring_capacity
+        _pm = ring_capacity(cfg)
         self._static = dict(
-            M=self.M, pmem=36, mem=36,
+            M=self.M, pmem=_pm, mem=_pm,
             W=cfg.OPTIMIZATION_WINDOW,
             PCF=cfg.REMOVAL_WINDOW + 4,
             r=cfg.PATCH_LIFETIME,

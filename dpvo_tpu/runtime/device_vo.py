@@ -78,10 +78,18 @@ class VOState:
         return cls(*fields)
 
 
+def ring_capacity(cfg):
+    """Feature-ring slots. The fslot allocator scans a live window of
+    PCF + 2 = REMOVAL_WINDOW + 6 frames, so the ring must strictly exceed
+    it or argmin(used) would hand out a still-referenced slot and silently
+    overwrite a live frame's features (ADVICE r1 #2)."""
+    return max(36, int(cfg.REMOVAL_WINDOW) + 7)
+
+
 def init_state(cfg, ht, wd, intrinsics):
     M = cfg.PATCHES_PER_FRAME
     N = cfg.BUFFER_SIZE
-    pmem = mem = 36
+    pmem = mem = ring_capacity(cfg)
     r = cfg.PATCH_LIFETIME
     GP = _gp_cap(cfg)
     ht4, wd4 = ht // 4, wd // 4

@@ -101,7 +101,17 @@ class Viewer:
                 if not self.live:
                     self._save_cloud(points, colors)
             elif kind == 'state':
-                self._render_3d(*payload)
+                # live matplotlib is main-thread-only on some platforms;
+                # degrade to headless PNGs like the cv2.imshow path above
+                try:
+                    self._render_3d(*payload)
+                except Exception:
+                    if self.live:
+                        self.live = False
+                        try:
+                            self._render_3d(*payload)
+                        except Exception:
+                            pass
 
     def _save_cloud(self, points, colors):
         from ..plot_utils import save_ply
