@@ -90,7 +90,8 @@ def _group_ids(ii, jj, kk):
 
 def vonet_forward(params, images, poses_gt, disps_gt, intrinsics, coords,
                   depth_init, sched, structure_only=False,
-                  mixed_precision=True):
+                  mixed_precision=True, rng=None, corr_grad_keep=0.2,
+                  edge_dropout=0.1):
     """Unrolled trajectory estimation for ONE sequence.
 
     images:    (T, H, W, 3) float32 raw [0, 255]
@@ -99,6 +100,15 @@ def vonet_forward(params, images, poses_gt, disps_gt, intrinsics, coords,
     intrinsics:(4,) full-resolution; coords: (T, M, 2) patch centroids (1/4);
     depth_init:(T, M) random initial inverse depths.
     sched: output of edge_schedule.
+    rng: optional PRNG key enabling the reference's two training-time
+    stochastic regularizers, both as STATIC-SHAPE masks:
+      * corr gradient dropout — per edge, gradients flow from the
+        correlation feature back to the feature maps with prob
+        `corr_grad_keep` (reference backward edge dropout,
+        altcorr/correlation.py:16-30 via net.py:161-172's dropout=0.2);
+      * random edge removal — when frame n is introduced, with prob
+        `edge_dropout` all edges touching frame n-4 are permanently
+        masked (weight-zeroed, reference net.py:239-244).
     Returns list of (valid, coords, coords_gt, Gs, loss-aux) per step.
     """
     T, M = coords.shape[0], coords.shape[1]
@@ -147,9 +157,10 @@ def vonet_forward(params, images, poses_gt, disps_gt, intrinsics, coords,
 
     net_prev = jnp.zeros((0, DIM), jnp.bfloat16 if mixed_precision
                          else jnp.float32)
+    live = jnp.ones((0,), bool)     # static-shape edge-removal mask
     traj = []
     prev_E = 0
-    for (ii_np, jj_np, kk_np, new_frame, n) in sched:
+    for s_idx, (ii_np, jj_np, kk_np, new_frame, n) in enumerate(sched):
         E = len(ii_np)
         ii = jnp.asarray(ii_np)
         jj = jnp.asarray(jj_np)
@@ -159,6 +170,14 @@ def vonet_forward(params, images, poses_gt, disps_gt, intrinsics, coords,
         Gs = jax.lax.stop_gradient(Gs)
         depth = jax.lax.stop_gradient(depth)
 
+        if E != prev_E:
+            # new edges are appended at the END of the table in edge_schedule,
+            # so their zero-init hidden states append at the end too
+            net_prev = jnp.concatenate(
+                [net_prev, jnp.zeros((E - prev_E, DIM), net_prev.dtype)],
+                axis=0)
+            live = jnp.concatenate(
+                [live, jnp.ones((E - prev_E,), bool)], axis=0)
         if new_frame is not None:
             if not structure_only:
                 Gs = Gs.at[new_frame].set(Gs[new_frame - 1])
@@ -167,24 +186,36 @@ def vonet_forward(params, images, poses_gt, disps_gt, intrinsics, coords,
                 depth, ((new_frame - 2) * M,), (2 * M,)))
             depth = jax.lax.dynamic_update_slice(
                 depth, jnp.full((M,), med), (new_frame * M,))
-            # new edges are appended at the END of the table in edge_schedule,
-            # so their zero-init hidden states append at the end too
-            net_prev = jnp.concatenate(
-                [net_prev, jnp.zeros((E - prev_E, DIM), net_prev.dtype)], axis=0)
-        elif E != prev_E:
-            net_prev = jnp.concatenate(
-                [net_prev, jnp.zeros((E - prev_E, DIM), net_prev.dtype)], axis=0)
+            if rng is not None and edge_dropout > 0:
+                # reference net.py:239-244: with prob 0.1, drop all edges
+                # touching frame n-4 — here a permanent weight-zero mask
+                kdrop = jax.random.fold_in(rng, 2 * s_idx)
+                hit = (ii == new_frame - 4) | (jj == new_frame - 4)
+                b = jax.random.bernoulli(kdrop, edge_dropout)
+                live = live & ~(hit & b)
 
-        # reproject full patches for correlation
+        # reproject full patches for correlation. No gradient flows into
+        # corr through coords: the reference kernel's backward returns
+        # None for coords (altcorr/correlation.py:26-30) — pose/depth
+        # gradients come solely through the BA + trajectory-loss path.
         coords_full = _transform_full(Gs, patch_xy, depth, intr4, ii, jj, kk)
-        c1 = corr_op(gmap, fmap1, coords_full, kk, jj, radius=3)
-        c2 = corr_op(gmap, fmap2, coords_full / 4.0, kk, jj, radius=3)
+        coords_c = jax.lax.stop_gradient(coords_full)
+        c1 = corr_op(gmap, fmap1, coords_c, kk, jj, radius=3)
+        c2 = corr_op(gmap, fmap2, coords_c / 4.0, kk, jj, radius=3)
         corr_feat = jnp.stack([c1, c2], axis=-1).reshape(E, -1)
+        if rng is not None and corr_grad_keep < 1.0:
+            # backward edge dropout: forward unchanged, gradients to
+            # gmap/fmap flow only through a `corr_grad_keep` fraction of
+            # edges each step (reference altcorr/correlation.py:16-30)
+            kcorr = jax.random.fold_in(rng, 2 * s_idx + 1)
+            keep = jax.random.bernoulli(kcorr, corr_grad_keep, (E,))
+            sg = jax.lax.stop_gradient(corr_feat)
+            corr_feat = sg + keep[:, None] * (corr_feat - sg)
 
-        mask = jnp.ones((E,), bool)
         net_prev, delta, weight = update_op(
             params, net_prev, imap[kk], corr_feat, ix, jx, kk_ids, pair_ids,
-            num_segments=E, edge_mask=mask, mixed_precision=mixed_precision)
+            num_segments=E, edge_mask=live, mixed_precision=mixed_precision)
+        weight = weight * live[:, None]
 
         center = coords_full[:, P // 2, P // 2, :]
         target = center + delta
@@ -195,9 +226,10 @@ def vonet_forward(params, images, poses_gt, disps_gt, intrinsics, coords,
                 bounds, W=T - 1, PC=T * M, fixedp=1,
                 structure_only=structure_only)
 
-        # supervision on short-range edges (reference net.py:264-268)
+        # supervision on short-range edges (reference net.py:264-268);
+        # dropped edges leave the loss exactly as if removed
         dij = jnp.abs(ii - jj)
-        sup = (dij > 0) & (dij <= 2)
+        sup = (dij > 0) & (dij <= 2) & live
         co_pred = _transform_full(Gs, patch_xy, depth, intr4, ii, jj, kk)
         co_gt, valid = _transform_full(
             poses_gt, patch_xy, depth_gt, intr4, ii, jj, kk, with_valid=True)
@@ -240,12 +272,26 @@ def kabsch_umeyama_scale(A, B):
     return VarA / jnp.sum(D)
 
 
+def _safe_norm(x, axis=-1):
+    """L2 norm whose gradient is 0 (not NaN) at ||x|| = 0.
+
+    jnp.linalg.norm backpropagates x/||x|| = NaN at the origin; torch
+    defines the subgradient as 0 there, which is what the reference's loss
+    relies on — its edge tables contain ii == jj self-edges whose
+    residual is EXACTLY zero (identical transform both ways), and one NaN
+    in the backward poisons every parameter gradient through the BA
+    segment-sums (the heads' grad_clip NaN-scrub then zeroes them all)."""
+    d2 = jnp.sum(x * x, axis=axis)
+    pos = d2 > 0
+    return jnp.sqrt(jnp.where(pos, d2, 1.0)) * pos.astype(x.dtype)
+
+
 def trajectory_loss(traj, poses_gt, flow_weight=0.1, pose_weight=10.0,
                     structure_only=False):
     total = 0.0
     aux = {}
     for i, (sup, valid, co_pred, co_gt, Gs, n) in enumerate(traj):
-        e = jnp.linalg.norm(co_pred - co_gt, axis=-1)      # (E, P, P)
+        e = _safe_norm(co_pred - co_gt, axis=-1)           # (E, P, P)
         e = e.reshape(e.shape[0], -1)
         vflat = valid.reshape(e.shape[0], -1)
         # min over patch pixels of valid supervised edges
@@ -265,21 +311,24 @@ def trajectory_loss(traj, poses_gt, flow_weight=0.1, pose_weight=10.0,
             s = jax.lax.stop_gradient(
                 jnp.clip(kabsch_umeyama_scale(t2, t1), None, 10.0))
             P1 = lie.se3_scale(P1, s)
-            iig, jjg = jnp.meshgrid(jnp.arange(N), jnp.arange(N),
-                                    indexing='ij')
-            iig, jjg = iig.ravel(), jjg.ravel()
-            offdiag = iig != jjg
+            # static off-diagonal pair list: the diagonal's dP·dG^-1 is
+            # EXACTLY identity, and se3_log partials at identity risk the
+            # same 0-cotangent x NaN poisoning as _safe_norm documents
+            iig, jjg = np.meshgrid(np.arange(N), np.arange(N),
+                                   indexing='ij')
+            od = iig.ravel() != jjg.ravel()
+            iig = jnp.asarray(iig.ravel()[od])
+            jjg = jnp.asarray(jjg.ravel()[od])
             dP = lie.se3_mul(lie.se3_inv(P1[iig]), P1[jjg])
             dG = lie.se3_mul(lie.se3_inv(P2[iig]), P2[jjg])
             e1 = lie.se3_log(lie.se3_mul(dP, lie.se3_inv(dG)))
-            tr = jnp.linalg.norm(e1[..., 0:3], axis=-1)
-            ro = jnp.linalg.norm(e1[..., 3:6], axis=-1)
-            wod = offdiag.astype(jnp.float32)
-            pose_loss = (jnp.sum(tr * wod) + jnp.sum(ro * wod)) / \
-                jnp.maximum(jnp.sum(wod), 1.0)
+            tr = _safe_norm(e1[..., 0:3], axis=-1)
+            ro = _safe_norm(e1[..., 3:6], axis=-1)
+            npairs = jnp.float32(tr.shape[0])
+            pose_loss = (jnp.sum(tr) + jnp.sum(ro)) / npairs
             total = total + pose_weight * pose_loss
-            aux['tr'] = jnp.sum(tr * wod) / jnp.maximum(jnp.sum(wod), 1.0)
-            aux['ro'] = jnp.sum(ro * wod) / jnp.maximum(jnp.sum(wod), 1.0)
+            aux['tr'] = jnp.sum(tr) / npairs
+            aux['ro'] = jnp.sum(ro) / npairs
     return total, aux
 
 
@@ -315,18 +364,23 @@ def make_train_step(optimizer, sched, structure_only=False,
             f32=params_f32,
             bf16={k: v.astype(jnp.bfloat16) for k, v in params_f32.items()})
 
-        def seq_loss(images, poses_gt, disps, intrinsics, coords, depth_init):
+        def seq_loss(images, poses_gt, disps, intrinsics, coords, depth_init,
+                     rng=None):
             traj = vonet_forward(params, images, poses_gt, disps, intrinsics,
                                  coords, depth_init, sched,
                                  structure_only=structure_only,
-                                 mixed_precision=mixed_precision)
+                                 mixed_precision=mixed_precision, rng=rng)
             loss, aux = trajectory_loss(traj, poses_gt,
                                         structure_only=structure_only)
             return loss, aux
 
-        losses, aux = jax.vmap(seq_loss)(
-            batch['images'], batch['poses_gt'], batch['disps'],
-            batch['intrinsics'], batch['coords'], batch['depth_init'])
+        seq_args = (batch['images'], batch['poses_gt'], batch['disps'],
+                    batch['intrinsics'], batch['coords'],
+                    batch['depth_init'])
+        if 'rng' in batch:   # per-sequence PRNG keys enable dropout
+            losses, aux = jax.vmap(seq_loss)(*seq_args, batch['rng'])
+        else:
+            losses, aux = jax.vmap(seq_loss)(*seq_args)
         return losses.mean(), aux
 
     def step(params, opt_state, batch):
@@ -339,12 +393,31 @@ def make_train_step(optimizer, sched, structure_only=False,
     if mesh is None:
         return jax.jit(step, donate_argnums=(0, 1))
 
+    # Multi-chip DP: GSPMD — batch sharded over the 'dp' axis, params and
+    # optimizer state replicated, XLA's SPMD partitioner inserts the one
+    # grad all-reduce (riding ICI on hardware). The vmapped per-sequence
+    # unroll partitions cleanly along the batch axis (every op in the loss
+    # carries a leading B dim), so no per-sequence compute is replicated;
+    # tests/test_trainer.py::test_multichip_hlo_partitions_cleanly pins
+    # that property by inspecting the compiled HLO for batch-sized
+    # all-gathers. An explicit shard_map+pmean variant was tried and
+    # abandoned: its execute path spins >8 min on the 1-core virtual-CPU
+    # dryrun mesh, while the GSPMD module executes in milliseconds.
     from jax.sharding import NamedSharding, PartitionSpec as PS
     repl = NamedSharding(mesh, PS())
-    batch_sh = NamedSharding(mesh, PS('dp'))
-    batch_spec = dict(images=batch_sh, poses_gt=batch_sh, disps=batch_sh,
-                      intrinsics=batch_sh, coords=batch_sh,
-                      depth_init=batch_sh)
-    return jax.jit(step, donate_argnums=(0, 1),
-                   in_shardings=(repl, repl, batch_spec),
-                   out_shardings=(repl, repl, repl, repl))
+    jits = {}   # one jit per batch-key set ('rng' is optional)
+
+    def get_jit(batch):
+        key = tuple(sorted(batch))
+        if key not in jits:
+            batch_spec = {k: NamedSharding(mesh, PS('dp')) for k in batch}
+            jits[key] = jax.jit(step, donate_argnums=(0, 1),
+                                in_shardings=(repl, repl, batch_spec),
+                                out_shardings=(repl, repl, repl, repl))
+        return jits[key]
+
+    def dispatch(params, opt_state, batch):
+        return get_jit(batch)(params, opt_state, batch)
+
+    dispatch.lower = lambda p, o, b: get_jit(b).lower(p, o, b)  # AOT path
+    return dispatch

@@ -93,6 +93,11 @@ def main(args):
     for batch in prefetch_batches(db, args, rng):
         # world-to-camera (reference train.py:81: poses = SE3(poses).inv())
         batch['poses_gt'] = nse3.inv(batch.pop('poses_c2w'))
+        # per-sequence PRNG keys: enable corr-gradient dropout + random
+        # edge removal in the unroll (reference net.py:161-172, 239-244)
+        B = batch['images'].shape[0]
+        batch['rng'] = rng.randint(0, 2**31 - 1,
+                                   (B, 2)).astype(np.uint32)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
         so = total_steps < 1000 and args.ckpt is None
