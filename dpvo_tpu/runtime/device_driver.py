@@ -48,6 +48,11 @@ class DeviceVO:
         )
         self.st = None
         self.tlist = []
+        # optional ground-truth target oracle (static callable; same contract
+        # as HybridVO._oracle / runtime/state.py:update_step) — drives the
+        # real device-resident pipeline in accuracy tests. Set force_accept
+        # in _static too: the learned motion probe is meaningless with it.
+        self._oracle = None
         self.viewer = None
         if viz:
             try:
@@ -95,7 +100,7 @@ class DeviceVO:
         self.st = vo_frame_packed(
             self.params, self.st,
             jnp.asarray(np.ascontiguousarray(image)),
-            jnp.asarray(aux), **self._static)
+            jnp.asarray(aux), oracle=self._oracle, **self._static)
 
         if self.viewer is not None:
             self.viewer.update_image(image)
@@ -138,7 +143,7 @@ class DeviceVO:
         self.st = vo_frames_packed(
             self.params, self.st,
             jnp.asarray(np.ascontiguousarray(np.stack(images))),
-            jnp.asarray(aux), **self._static)
+            jnp.asarray(aux), oracle=self._oracle, **self._static)
 
     def _push_viewer_state(self):
         n = int(fetch(self.st.n))
@@ -153,7 +158,8 @@ class DeviceVO:
         from .device_vo import vo_refine
         for _ in range(12):
             self.st = vo_refine(self.params, self.st,
-                                ht4=self.ht // 4, wd4=self.wd // 4, **{
+                                ht4=self.ht // 4, wd4=self.wd // 4,
+                                oracle=self._oracle, **{
                 k: v for k, v in self._static.items()
                 if k in ('M', 'pmem', 'mem', 'W', 'PCF', 'opt_window',
                          'mixed_precision', 'use_pallas')})

@@ -268,17 +268,45 @@ def _compact_pairs(st):
 # the per-frame step
 # ---------------------------------------------------------------------------
 
+def _call_oracle(oracle, st, poses, depth, M, GP):
+    """Adapt a hybrid-signature oracle to the pair-blocked device state.
+
+    The hybrid oracle contract (runtime/state.py:update_step) takes
+    edge-granular (ii, jj, kk) plus (NM, 2, P, P) patch grids; the device
+    state stores pair-granular tables and bare centers, so synthesize the
+    edge view (only the center tap of patch_xy is real — the stock oracles
+    read patch_xy[kk][:, :, P//2, P//2] exclusively)."""
+    marange = jnp.arange(M, dtype=jnp.int32)
+    ii_e = jnp.repeat(st.pi, M)
+    jj_e = jnp.repeat(st.pj, M)
+    kk_e = (st.pi[:, None] * M + marange[None, :]).reshape(GP * M)
+    patch_xy = jnp.broadcast_to(st.centers[:, :, None, None],
+                                st.centers.shape + (P, P))
+    intr_b = jnp.broadcast_to(st.intr[None, :], (st.poses.shape[0], 4))
+    return oracle(poses, patch_xy, depth, intr_b, ii_e, jj_e, kk_e)
+
+
 @partial(jax.jit,
          static_argnames=('M', 'pmem', 'mem', 'W', 'PCF', 'r', 'kf_index',
                           'opt_window', 'removal_window', 'mixed_precision',
                           'use_pallas', 'kf_thresh', 'motion_damping',
-                          'motion_model', 'force_accept'),
+                          'motion_model', 'force_accept', 'oracle'),
          donate_argnames=('st',))
 def vo_frame(params, st, image, coords, depth_seed, tstamp,
              *, M, pmem, mem, W, PCF, r, kf_index, opt_window,
              removal_window, kf_thresh, motion_damping, motion_model,
-             mixed_precision=True, use_pallas=True, force_accept=False):
-    """Track one frame entirely on device (reference dpvo.py:377-473)."""
+             mixed_precision=True, use_pallas=True, force_accept=False,
+             oracle=None):
+    """Track one frame entirely on device (reference dpvo.py:377-473).
+
+    oracle: optional static callable with the hybrid runtime's signature
+    (poses, patch_xy, depth, intrinsics, ii, jj, kk) -> (target, weight),
+    replacing the learned corr+update path — lets accuracy tests drive the
+    REAL device-resident state machine (edge schedule, BA, keyframing,
+    termination) toward a known trajectory without a checkpoint. patch_xy
+    is synthesized from the stored centers (only the center tap is real);
+    pair with force_accept=True (no learned motion probe exists).
+    """
     n = st.n
     GP = st.pi.shape[0]
 
@@ -451,20 +479,29 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
 
         def update_body(_, carry):
             poses, depth, net, target, weight = carry
-            coords_r, corr_feat, inp = corr_two_level(
-                st.pi, st.pj, st.pvalid, net, poses, depth)
-            netf = net.reshape(GP * M, DIM)
-            netf, delta, wgt = update_op(
-                params, netf, inp, corr_feat, ix_e, jx_e, kk_ids, pair_ids,
-                num_segments=GP * M, edge_mask=edge_mask,
-                mixed_precision=mixed_precision,
-                num_segments_kk=pmem * M, num_segments_ij=GP,
-                gather_pairs=(ix_pair, jx_pair, M))
-            net = netf.reshape(GP, M, DIM)
-            center = coords_r[:, :, P // 2, P // 2, :]
-            target = center + delta.reshape(GP, M, 2)
-            weight = jnp.where(edge_mask.reshape(GP, M, 1),
-                               wgt.reshape(GP, M, 2), 0.0)
+            if oracle is not None:
+                coords_r = _reproject_pairs(poses, st.centers, depth,
+                                            st.intr, st.pi, st.pj, M)
+                center = coords_r[:, :, P // 2, P // 2, :]
+                tgt, wgt = _call_oracle(oracle, st, poses, depth, M, GP)
+                mask3 = edge_mask.reshape(GP, M, 1)
+                target = jnp.where(mask3, tgt.reshape(GP, M, 2), center)
+                weight = jnp.where(mask3, wgt.reshape(GP, M, 2), 0.0)
+            else:
+                coords_r, corr_feat, inp = corr_two_level(
+                    st.pi, st.pj, st.pvalid, net, poses, depth)
+                netf = net.reshape(GP * M, DIM)
+                netf, delta, wgt = update_op(
+                    params, netf, inp, corr_feat, ix_e, jx_e, kk_ids,
+                    pair_ids, num_segments=GP * M, edge_mask=edge_mask,
+                    mixed_precision=mixed_precision,
+                    num_segments_kk=pmem * M, num_segments_ij=GP,
+                    gather_pairs=(ix_pair, jx_pair, M))
+                net = netf.reshape(GP, M, DIM)
+                center = coords_r[:, :, P // 2, P // 2, :]
+                target = center + delta.reshape(GP, M, 2)
+                weight = jnp.where(edge_mask.reshape(GP, M, 1),
+                                   wgt.reshape(GP, M, 2), 0.0)
             poses, depth = bundle_adjust_pairs(
                 poses, st.centers, depth, st.intr, target, weight, 1e-4,
                 st.pi, st.pj, st.pvalid, t0, n1, fbase,
@@ -518,14 +555,31 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
 
 @partial(jax.jit,
          static_argnames=('M', 'pmem', 'mem', 'W', 'PCF', 'opt_window',
-                          'mixed_precision', 'use_pallas', 'ht4', 'wd4'),
+                          'mixed_precision', 'use_pallas', 'ht4', 'wd4',
+                          'oracle'),
          donate_argnames=('st',))
 def vo_refine(params, st, *, M, pmem, mem, W, PCF, opt_window,
-              mixed_precision=True, use_pallas=True, ht4=None, wd4=None):
+              mixed_precision=True, use_pallas=True, ht4=None, wd4=None,
+              oracle=None):
     """One update+BA iteration over the existing pairs (terminate(), which
     runs this 12x — reference dpvo.py:181-183)."""
     GP = st.pi.shape[0]
     n1 = st.n
+    if oracle is not None:
+        coords_r = _reproject_pairs(st.poses, st.centers, st.depth,
+                                    st.intr, st.pi, st.pj, M)
+        center = coords_r[:, :, P // 2, P // 2, :]
+        tgt, wgt = _call_oracle(oracle, st, st.poses, st.depth, M, GP)
+        mask3 = jnp.repeat(st.pvalid, M).reshape(GP, M, 1)
+        st.target = jnp.where(mask3, tgt.reshape(GP, M, 2), center)
+        st.weight = jnp.where(mask3, wgt.reshape(GP, M, 2), 0.0)
+        st.poses, st.depth = bundle_adjust_pairs(
+            st.poses, st.centers, st.depth, st.intr, st.target, st.weight,
+            1e-4, st.pi, st.pj, st.pvalid,
+            jnp.maximum(n1 - opt_window, 1), n1,
+            jnp.maximum(n1 - (PCF - 2), 0),
+            M=M, W=W, PCF=PCF, iterations=2)
+        return st
 
     ix_pair, jx_pair = _pair_neighbors(st.pi, st.pj, st.pvalid, GP)
     marange = jnp.arange(M, dtype=jnp.int32)
@@ -580,12 +634,13 @@ def vo_refine(params, st, *, M, pmem, mem, W, PCF, opt_window,
          static_argnames=('M', 'pmem', 'mem', 'W', 'PCF', 'r', 'kf_index',
                           'opt_window', 'removal_window', 'mixed_precision',
                           'use_pallas', 'kf_thresh', 'motion_damping',
-                          'motion_model', 'force_accept'),
+                          'motion_model', 'force_accept', 'oracle'),
          donate_argnames=('st',))
 def vo_frames(params, st, images, coords, depth_seeds, tstamps,
               *, M, pmem, mem, W, PCF, r, kf_index, opt_window,
               removal_window, kf_thresh, motion_damping, motion_model,
-              mixed_precision=True, use_pallas=True, force_accept=False):
+              mixed_precision=True, use_pallas=True, force_accept=False,
+              oracle=None):
     """Track a CHUNK of K frames in ONE dispatch: lax.scan over vo_frame.
 
     Identical math to K successive vo_frame dispatches (the whole SLAM state
@@ -601,7 +656,8 @@ def vo_frames(params, st, images, coords, depth_seeds, tstamps,
               opt_window=opt_window, removal_window=removal_window,
               kf_thresh=kf_thresh, motion_damping=motion_damping,
               motion_model=motion_model, mixed_precision=mixed_precision,
-              use_pallas=use_pallas, force_accept=force_accept)
+              use_pallas=use_pallas, force_accept=force_accept,
+              oracle=oracle)
 
     def body(carry, xs):
         image, c, d, t = xs
@@ -614,7 +670,7 @@ def vo_frames(params, st, images, coords, depth_seeds, tstamps,
 _PACK_STATICS = ('M', 'pmem', 'mem', 'W', 'PCF', 'r', 'kf_index',
                  'opt_window', 'removal_window', 'mixed_precision',
                  'use_pallas', 'kf_thresh', 'motion_damping',
-                 'motion_model', 'force_accept')
+                 'motion_model', 'force_accept', 'oracle')
 
 
 @partial(jax.jit, static_argnames=_PACK_STATICS, donate_argnames=('st',))

@@ -41,6 +41,62 @@ def run(slam, frames, intr):
     return slam.terminate()
 
 
+def test_runtimes_agree_oracle_trajectory():
+    """Same oracle, same scene, both runtimes: the recovered trajectories
+    must agree with each other (and with ground truth) in ATE — the two
+    implementations claim to be the SAME algorithm (reference
+    dpvo.py:377-473), so divergence beyond fp32-vs-fp64 decision noise is
+    a real bug this catches."""
+    import jax.numpy as jnp
+    from dpvo_tpu import lie
+    from dpvo_tpu.evaluation import ate_rmse, poses_to_trajectory
+    from test_oracle_ate import (
+        H, W, N_FRAMES, make_gt_poses, make_oracle, _ConstDepthRng)
+
+    c = default_cfg.clone()
+    c.BUFFER_SIZE = 64
+    c.PATCHES_PER_FRAME = 4
+    c.PATCH_LIFETIME = 5
+    c.REMOVAL_WINDOW = 10
+    c.OPTIMIZATION_WINDOW = 10
+    c.KEYFRAME_THRESH = -1.0
+    c.MIXED_PRECISION = False
+
+    gt_poses = make_gt_poses(N_FRAMES)
+    oracle = make_oracle(gt_poses)
+    intr = np.array([80.0, 80.0, W / 2, H / 2], np.float32)
+
+    def run_oracle(slam):
+        slam._oracle = oracle
+        if hasattr(slam, '_static'):          # device-resident runtime
+            slam._static['force_accept'] = True
+        else:
+            slam.motion_probe = lambda: 100.0
+        rng = np.random.RandomState(1)
+        for t in range(N_FRAMES):
+            img = rng.randint(0, 255, (H, W, 3), np.uint8)
+            slam.rng = _ConstDepthRng(np.random.RandomState(1000 + t))
+            slam(t, img, intr)
+        poses, tstamps = slam.terminate()
+        return poses_to_trajectory(poses, tstamps)
+
+    est_dev = run_oracle(DeviceVO(c, None, ht=H, wd=W, seed=3))
+    est_hyb = run_oracle(HybridVO(c, None, ht=H, wd=W, seed=3))
+
+    gt_wfc = np.asarray(lie.se3_inv(jnp.asarray(gt_poses)))
+    gt = poses_to_trajectory(gt_wfc, np.arange(N_FRAMES))
+    path_len = np.linalg.norm(np.diff(gt_wfc[:, :3], axis=0), axis=1).sum()
+
+    err_dev = ate_rmse(est_dev, gt, correct_scale=True)
+    err_hyb = ate_rmse(est_hyb, gt, correct_scale=True)
+    cross = ate_rmse(est_dev, est_hyb, correct_scale=True)
+
+    assert err_dev < 0.02 * path_len, f'device ATE {err_dev:.4f}'
+    assert err_hyb < 0.02 * path_len, f'hybrid ATE {err_hyb:.4f}'
+    # the two runtimes implement the same algorithm: trajectory agreement
+    assert cross < 1e-2, f'inter-runtime ATE {cross:.5f}'
+
+
 def test_runtimes_agree(small_cfg):
     frames = synth_frames()
     H, W, _ = frames[0].shape
