@@ -85,6 +85,76 @@ def basic_encoder4(params, prefix, x, norm_fn):
     return x
 
 
+def _split_instance_norm(x, c):
+    """Instance-normalize channels [:c] only (fnet half of a fused pass)."""
+    return jnp.concatenate([instance_norm(x[..., :c]), x[..., c:]], axis=-1)
+
+
+def _fused_w(params, pa, pb, name, diag):
+    """Fuse two same-shaped convs: concat on O; block-diagonal on (I, O)
+    when `diag` (inner layers whose inputs are already the fused stream)."""
+    wa = params[f'{pa}.{name}.weight']
+    wb = params[f'{pb}.{name}.weight']
+    if not diag:
+        w = jnp.concatenate([wa, wb], axis=-1)
+    else:
+        kh, kw, i, o = wa.shape
+        ib, ob = wb.shape[2], wb.shape[3]
+        w = jnp.zeros((kh, kw, i + ib, o + ob), wa.dtype)
+        w = w.at[:, :, :i, :o].set(wa).at[:, :, i:, o:].set(wb)
+    b = jnp.concatenate([params[f'{pa}.{name}.bias'],
+                         params[f'{pb}.{name}.bias']])
+    return {f'f.{name}.weight': w, f'f.{name}.bias': b}
+
+
+def basic_encoder4_fused(params, pa, pb, x):
+    """Run TWO BasicEncoder4 nets (`pa` with instance norm, `pb` without)
+    as ONE conv stack with concatenated/block-diagonal weights.
+
+    Bitwise-equivalent to two separate passes (the off-diagonal zeros add
+    exact 0 to every accumulator; the instance norm applies to the `pa`
+    channel half only), but at 32/64 channels the MXU pads lanes to the
+    tile anyway, so one fused pass costs about half the device time of two
+    — this is the patchify hot path (reference runs fnet+inet separately,
+    net.py:112-113).
+
+    Returns (ya, yb): (N, H/4, W/4, out_a), (N, H/4, W/4, out_b).
+    """
+    fp = {}
+    for name, diag in (('conv1', False),
+                       ('layer1.0.conv1', True), ('layer1.0.conv2', True),
+                       ('layer1.1.conv1', True), ('layer1.1.conv2', True),
+                       ('layer2.0.conv1', True), ('layer2.0.conv2', True),
+                       ('layer2.0.downsample.0', True),
+                       ('layer2.1.conv1', True), ('layer2.1.conv2', True),
+                       ('conv2', True)):
+        fp.update(_fused_w(params, pa, pb, name, diag))
+
+    c1 = params[f'{pa}.conv1.weight'].shape[-1]        # fnet half width
+    c2 = 2 * c1
+    out_a = params[f'{pa}.conv2.weight'].shape[-1]
+
+    x = conv2d(fp, 'f.conv1', x, stride=2)
+    x = jax.nn.relu(_split_instance_norm(x, c1))
+
+    def block(x, prefix, c, stride):
+        y = conv2d(fp, prefix + '.conv1', x, stride=stride)
+        y = jax.nn.relu(_split_instance_norm(y, c))
+        y = conv2d(fp, prefix + '.conv2', y, stride=1)
+        y = jax.nn.relu(_split_instance_norm(y, c))
+        if stride != 1:
+            x = conv2d(fp, prefix + '.downsample.0', x, stride=stride)
+            x = _split_instance_norm(x, c)
+        return jax.nn.relu(x + y)
+
+    x = block(x, 'f.layer1.0', c1, 1)
+    x = block(x, 'f.layer1.1', c1, 1)
+    x = block(x, 'f.layer2.0', c2, 2)
+    x = block(x, 'f.layer2.1', c2, 1)
+    x = conv2d(fp, 'f.conv2', x, stride=1)
+    return x[..., :out_a], x[..., out_a:]
+
+
 def basic_encoder(params, prefix, x, norm_fn):
     """Stride-8 BasicEncoder (reference extractor.py:117-197 — defined by the
     reference but unused by VONet; provided for parity).

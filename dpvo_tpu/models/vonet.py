@@ -19,7 +19,8 @@ import numpy as np
 from ..ops.patchify import extract_patches, avg_pool2d
 from .blocks import (gated_residual, init_layer_norm, init_linear, layer_norm,
                      linear, mlp2, soft_agg)
-from .extractor import basic_encoder4, init_encoder_params
+from .extractor import (basic_encoder4, basic_encoder4_fused,
+                        init_encoder_params)
 
 P = 3
 DIM = 384
@@ -68,8 +69,10 @@ def patchify_frame(params, image, coords, mixed_precision=True):
     p = params.bf16 if mixed_precision else params.f32
     x = image[None].astype(net_dtype)
 
-    fmap = basic_encoder4(p, 'patchify.fnet', x, 'instance')[0] / 4.0
-    imap = basic_encoder4(p, 'patchify.inet', x, 'none')[0] / 4.0
+    # one fused conv stack for both encoders (bitwise == two passes;
+    # halves the patchify device time — see basic_encoder4_fused)
+    fmap, imap = basic_encoder4_fused(p, 'patchify.fnet', 'patchify.inet', x)
+    fmap, imap = fmap[0] / 4.0, imap[0] / 4.0
 
     gmap = extract_patches(fmap, coords, P // 2)               # (M, P, P, 128)
     imap_p = extract_patches(imap, coords, 0)[:, 0, 0, :]      # (M, DIM)

@@ -366,3 +366,28 @@ def test_frame_pipeline_parity():
                                atol=2e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(out_net), ref_net.numpy(),
                                atol=5e-3, rtol=1e-3)
+
+
+def test_fused_encoder_matches_separate():
+    """basic_encoder4_fused must be bitwise-equivalent to the two separate
+    encoder passes (block-diagonal weights add exact zeros; the instance
+    norm covers the fnet half only)."""
+    import jax.numpy as jnp
+    from dpvo_tpu.models.extractor import (basic_encoder4,
+                                           basic_encoder4_fused,
+                                           init_encoder_params)
+
+    rng = np.random.RandomState(0)
+    p = {}
+    p.update(init_encoder_params(rng, 'patchify.fnet', 128))
+    p.update(init_encoder_params(rng, 'patchify.inet', 384))
+    p = {k: jnp.asarray(v) for k, v in p.items()}
+    x = jnp.asarray(rng.randn(1, 32, 48, 3).astype(np.float32))
+
+    fa = basic_encoder4(p, 'patchify.fnet', x, 'instance')
+    fb = basic_encoder4(p, 'patchify.inet', x, 'none')
+    ga, gb = basic_encoder4_fused(p, 'patchify.fnet', 'patchify.inet', x)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(fa),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(fb),
+                               rtol=1e-5, atol=1e-5)
