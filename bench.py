@@ -22,6 +22,7 @@ work per frame as a real checkpoint.
 """
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -39,6 +40,41 @@ def force_completion(slam):
     from dpvo_tpu.utils.fetch import fetch
     arr = slam.st.poses if hasattr(slam, 'st') else slam.poses_dev
     return float(fetch(arr[0, 0]))
+
+
+def device_busy_ms(tracedir):
+    """Sum device-lane busy time from a jax.profiler Chrome trace.
+
+    Returns {tid_name: busy_ms} for trace lanes that look like device
+    compute/DMA queues (the axon tunnel hides completion from host walls,
+    so device time must come from the profiler, not timers)."""
+    import glob
+    import gzip
+
+    paths = sorted(glob.glob(os.path.join(
+        tracedir, 'plugins/profile/*/*.trace.json.gz')))
+    if not paths:
+        return {}
+    with gzip.open(paths[-1], 'rt') as f:
+        trace = json.load(f)
+    events = trace.get('traceEvents', [])
+    names = {}          # (pid, tid) -> label
+    for e in events:
+        if e.get('ph') == 'M' and e.get('name') == 'thread_name':
+            names[(e['pid'], e['tid'])] = e['args']['name']
+        if e.get('ph') == 'M' and e.get('name') == 'process_name':
+            names[(e['pid'], None)] = e['args']['name']
+    busy = {}
+    for e in events:
+        if e.get('ph') != 'X':
+            continue
+        pname = names.get((e['pid'], None), '')
+        if 'TPU' not in pname and 'device' not in pname.lower():
+            continue
+        tname = names.get((e['pid'], e['tid']), str(e['tid']))
+        key = f'{pname}/{tname}'
+        busy[key] = busy.get(key, 0.0) + e.get('dur', 0) / 1e3
+    return busy
 
 
 def run_mode(cfg, args, H, W, frames, intr, label):
@@ -82,9 +118,11 @@ def run_mode(cfg, args, H, W, frames, intr, label):
 
     seg_fps = []
     prof_ctx = None
+    tracedir = f'/tmp/dpvo_tpu_profile_{label}'
+    want_trace = args.profile or args.device_time
     for s in range(args.segments):
-        if args.profile and s == args.segments - 1:
-            prof_ctx = jax.profiler.trace('/tmp/dpvo_tpu_profile')
+        if want_trace and s == args.segments - 1:
+            prof_ctx = jax.profiler.trace(tracedir)
             prof_ctx.__enter__()
         t0 = time.perf_counter()
         t = feed(t, args.seg_frames)
@@ -93,9 +131,16 @@ def run_mode(cfg, args, H, W, frames, intr, label):
     if prof_ctx is not None:
         prof_ctx.__exit__(None, None, None)
 
+    dev_ms = None
+    if want_trace:
+        busy = device_busy_ms(tracedir)
+        if busy:
+            # the busiest device lane == the compute queue; DMA overlaps it
+            dev_ms = max(busy.values()) / args.seg_frames
+
     fps = float(np.median(seg_fps))
     spread = float(np.max(seg_fps) - np.min(seg_fps))
-    return fps, spread, seg_fps
+    return fps, spread, seg_fps, dev_ms
 
 
 V5E_PEAK_BF16 = 197e12          # TFLOP/s, single v5e chip
@@ -146,12 +191,22 @@ def main():
                     help='frames per dispatch (lax.scan throughput mode)')
     ap.add_argument('--slam-modes', action='store_true',
                     help='also measure LOOP_CLOSURE / CLASSIC_LOOP_CLOSURE')
+    ap.add_argument('--device-time', action='store_true',
+                    help='profile the last segment and report device '
+                         'ms/frame next to the wall FPS (the SLAM modes '
+                         'are tunnel-latency-bound; this separates device '
+                         'compute from tunnel roundtrips)')
     ap.add_argument('--with-fast', action='store_true',
                     help="also measure the reference's fast.yaml preset")
     ap.add_argument('--opts', nargs='+', default=[])
     args = ap.parse_args()
 
     from dpvo_tpu.config import cfg
+
+    if args.slam_modes:
+        # the SLAM-mode claim ("tunnel-latency-bound, device-fast") must be
+        # backed by data every time it's measured
+        args.device_time = True
 
     cfg.merge_from_file(args.config)
     if args.opts:
@@ -162,16 +217,20 @@ def main():
     frames = synth_frames(n_frames, H, W)
     intr = np.array([W * 0.73, W * 0.73, W / 2, H / 2], np.float32)
 
-    fps, spread, segs = run_mode(cfg, args, H, W, frames, intr, 'vo')
+    fps, spread, segs, dev_ms = run_mode(cfg, args, H, W, frames, intr, 'vo')
     baseline = 60.0  # RTX-3090 paper figure
 
     extra = {}
+    if dev_ms is not None:
+        extra['vo_ms_device'] = round(dev_ms, 2)
     if args.with_fast:
         cf = cfg.clone()
         cf.merge_from_file('config/fast.yaml')
         try:
-            ff, _, _ = run_mode(cf, args, H, W, frames, intr, 'fast')
+            ff, _, _, fdev = run_mode(cf, args, H, W, frames, intr, 'fast')
             extra['fast_yaml_fps'] = round(ff, 2)
+            if fdev is not None:
+                extra['fast_yaml_ms_device'] = round(fdev, 2)
         except Exception as e:
             extra['fast_yaml_fps'] = f'error: {e}'
     if args.slam_modes:
@@ -180,10 +239,12 @@ def main():
             c2 = cfg.clone()
             setattr(c2, key, True)
             try:
-                f2, _, _ = run_mode(c2, args, H, W, frames, intr, key)
-                extra[name] = round(f2, 2)
+                f2, _, _, d2 = run_mode(c2, args, H, W, frames, intr, key)
+                extra[name + '_wall'] = round(f2, 2)
+                if d2 is not None:
+                    extra[name.replace('_fps', '_ms_device')] = round(d2, 2)
             except Exception as e:
-                extra[name] = f'error: {e}'
+                extra[name + '_wall'] = f'error: {e}'
 
     flops = flops_per_frame(cfg, H, W)
     print(json.dumps({
