@@ -71,6 +71,9 @@ if __name__ == '__main__':
     parser.add_argument('--plot', action='store_true')
     parser.add_argument('--opts', nargs='+', default=[])
     parser.add_argument('--save_ply', action='store_true')
+    parser.add_argument('--save_html', action='store_true',
+                        help='interactive WebGL viewer (one self-contained '
+                             '.html: orbit/pan/zoom, frusta + point cloud)')
     parser.add_argument('--save_colmap', action='store_true')
     parser.add_argument('--save_trajectory', action='store_true')
     args = parser.parse_args()
@@ -92,6 +95,12 @@ if __name__ == '__main__':
 
     if args.save_colmap:
         save_output_for_COLMAP(args.name, trajectory, points, colors, *calib)
+
+    if args.save_html:
+        from dpvo_tpu.viz.html_viewer import save_html_viewer
+        save_html_viewer(args.name + '.html', poses, points, colors,
+                         title=args.name)
+        print(f'interactive viewer: {args.name}.html')
 
     if args.save_trajectory:
         Path('saved_trajectories').mkdir(exist_ok=True)

@@ -38,7 +38,9 @@ def umeyama_alignment(x, y, with_scale=True):
     if np.linalg.det(U) * np.linalg.det(Vt) < 0:
         S[2, 2] = -1
     R = U @ S @ Vt
-    c = np.trace(np.diag(d) @ S) / sx if with_scale else 1.0
+    # a degenerate (collapsed-to-a-point) estimate has sx == 0; keep the
+    # alignment finite so a broken trajectory scores a LARGE error, not nan
+    c = np.trace(np.diag(d) @ S) / max(sx, 1e-12) if with_scale else 1.0
     t = my - c * R @ mx
     return R, t, c
 

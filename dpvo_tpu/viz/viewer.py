@@ -112,6 +112,14 @@ class Viewer:
                             self._render_3d(*payload)
                         except Exception:
                             pass
+                # always refresh the interactive artifact (the headless
+                # answer to the reference's live Pangolin navigation)
+                try:
+                    from .html_viewer import save_html_viewer
+                    save_html_viewer(str(self.outdir / 'viewer.html'),
+                                     *payload)
+                except Exception:
+                    pass
 
     def _save_cloud(self, points, colors):
         from ..plot_utils import save_ply

@@ -84,7 +84,7 @@ def run_vo_ate(params_path, seq, force_accept=True, seed=7):
     est = poses_to_trajectory(poses, tstamps)
     gt = poses_to_trajectory(gt_wfc, np.arange(T))
     err = float(ate_rmse(est, gt, correct_scale=True))
-    path = float(np.linalg.norm(np.diff(gt_wfc[:, :3], 0, axis=0),
+    path = float(np.linalg.norm(np.diff(gt_wfc[:, :3], axis=0),
                                 axis=1).sum())
     return err, path
 
