@@ -270,7 +270,8 @@ def _select_taps(plane, xi, yi, fx, fy, oy, ox, H, W, radius, P):
 
 
 def corr_fused(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
-               interpret=False, g9=None, prepadded=None):
+               interpret=False, g9=None, prepadded=None,
+               select_kernel=None):
     """Both-level local correlation with frame-resident windows.
 
     gmap:    (Ng, P, P, C) bf16 source patches
@@ -348,6 +349,19 @@ def corr_fused(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
                                    interpret=interpret)
     plane1 = plane1[:E].reshape(E, P * P, WY, WX)
     plane2 = plane2[:E].reshape(E, P * P, WY2, WX2)
+
+    if select_kernel is None:
+        select_kernel = (not interpret
+                         and jax.default_backend() in ('tpu', 'axon'))
+    if select_kernel:
+        # VMEM-streamed select kernel: one HBM read of the planes instead
+        # of one per masked-shift term (ops/corr_select.py)
+        from .corr_select import select_taps_tpu
+        c1 = select_taps_tpu(plane1, yi1, xi1, fy1, fx1, oy1, ox1,
+                             H=H1, W=W1, radius=radius, interpret=interpret)
+        c2 = select_taps_tpu(plane2, yi2, xi2, fy2, fx2, oy2, ox2,
+                             H=H2, W=W2, radius=radius, interpret=interpret)
+        return c1, c2
 
     c1 = _select_taps(plane1, xi1, yi1, fx1, fy1, oy1, ox1, H1, W1, radius, P)
     c2 = _select_taps(plane2, xi2, yi2, fx2, fy2, oy2, ox2, H2, W2, radius, P)

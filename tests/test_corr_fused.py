@@ -165,3 +165,35 @@ def test_corr_fused_spread_overflow_zeroes():
     assert np.abs(r1[:4, :, :, :, 2]).max() > 0.0
     # at-budget edges stay exact
     np.testing.assert_allclose(c1[4:], r1[4:], atol=0.02 * scale)
+
+
+def test_select_kernel_matches_xla_select():
+    """ops/corr_select.py (VMEM-streamed select kernel) vs _select_taps
+    (XLA masked shifts): same taps, borders, overflow zeroing. The kernel
+    accumulates in f32 where the XLA path holds bf16 intermediates, so
+    tolerance is the bf16 quantum of the plane scale."""
+    from dpvo_tpu.ops import corr_fused as cf
+    from dpvo_tpu.ops.corr_select import select_taps_tpu
+
+    rng = np.random.RandomState(11)
+    E, H, W = 70, 64, 96          # non-multiple of the block size
+    plane = jnp.asarray(rng.randn(E, 9, cf.WY, cf.WX), jnp.bfloat16)
+
+    cx = np.concatenate([rng.uniform(4, W - 5, E - 20),
+                         rng.uniform(-3, 3, 10),
+                         rng.uniform(W - 3, W + 3, 10)])
+    cy = rng.uniform(-2, H + 2, E)
+    off = np.linspace(-1.2, 1.2, 3)
+    gx = cx[:, None, None] + off[None, None, :] + rng.uniform(-0.5, 0.5,
+                                                              (E, 3, 3))
+    gy = cy[:, None, None] + off[None, :, None] + rng.uniform(-0.5, 0.5,
+                                                              (E, 3, 3))
+    coords = jnp.asarray(np.stack([gx, gy], -1), np.float32)
+    xi, yi, fx, fy, by, bx, oy, ox = cf._window_base(coords, H, W, 3)
+
+    ref = cf._select_taps(plane, xi, yi, fx, fy, oy, ox, H, W, 3, 3)
+    got = select_taps_tpu(plane, yi, xi, fy, fx, oy, ox, H=H, W=W,
+                          radius=3, interpret=True)
+    scale = max(np.abs(np.asarray(ref)).max(), 1e-3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=0.02 * scale)
