@@ -89,10 +89,8 @@ class DeviceVO:
                     f'using "--opts BUFFER_SIZE={self.cfg.BUFFER_SIZE * 2}"')
 
         self.tlist.append(tstamp)
-        h4, w4 = self.ht // RES, self.wd // RES
         aux = np.empty((self.M, 4), np.float32)
-        aux[:, 0] = self.rng.randint(1, w4 - 1, self.M)
-        aux[:, 1] = self.rng.randint(1, h4 - 1, self.M)
+        aux[:, :2] = self._select_coords(image)
         aux[:, 2] = self.rng.rand(self.M)
         aux[:, 3] = tstamp
 
@@ -108,6 +106,30 @@ class DeviceVO:
             # viz mode trades FPS for the live view, like --viz upstream
             if len(self.tlist) % 10 == 0:
                 self._push_viewer_state()
+
+    def _select_coords(self, image):
+        """Patch centroid selection (reference net.py:119-136): RANDOM, or
+        GRADIENT_BIAS — top-M of 3M candidates by pooled gradient magnitude
+        (host numpy; mirrors HybridVO._select_coords without a device
+        roundtrip)."""
+        M = self.M
+        h4, w4 = self.ht // RES, self.wd // RES
+        if self.cfg.CENTROID_SEL_STRAT == 'GRADIENT_BIAS':
+            x = self.rng.randint(1, w4 - 1, 3 * M)
+            y = self.rng.randint(1, h4 - 1, 3 * M)
+            gray = np.asarray(image, np.float32).sum(axis=-1)
+            dx = gray[:-1, 1:] - gray[:-1, :-1]
+            dy = gray[1:, :-1] - gray[:-1, :-1]
+            g = np.sqrt(dx ** 2 + dy ** 2)
+            H4, W4 = (g.shape[0] // 4) * 4, (g.shape[1] // 4) * 4
+            g = g[:H4, :W4].reshape(H4 // 4, 4, W4 // 4, 4).mean(axis=(1, 3))
+            score = g[np.clip(y, 0, g.shape[0] - 1),
+                      np.clip(x, 0, g.shape[1] - 1)]
+            top = np.argsort(score)[-M:]
+            return np.stack([x[top], y[top]], -1).astype(np.float32)
+        x = self.rng.randint(1, w4 - 1, M)
+        y = self.rng.randint(1, h4 - 1, M)
+        return np.stack([x, y], axis=-1).astype(np.float32)
 
     def track_frames(self, tstamps, images, intrinsics):
         """Track a chunk of frames in ONE dispatch (device_vo.vo_frames).
@@ -132,10 +154,9 @@ class DeviceVO:
                     f'using "--opts BUFFER_SIZE={self.cfg.BUFFER_SIZE * 2}"')
 
         self.tlist.extend(tstamps)
-        h4, w4 = self.ht // RES, self.wd // RES
         aux = np.empty((K, self.M, 4), np.float32)
-        aux[..., 0] = self.rng.randint(1, w4 - 1, (K, self.M))
-        aux[..., 1] = self.rng.randint(1, h4 - 1, (K, self.M))
+        for k in range(K):
+            aux[k, :, :2] = self._select_coords(images[k])
         aux[..., 2] = self.rng.rand(K, self.M)
         aux[..., 3] = np.asarray(tstamps, np.float32)[:, None]
 

@@ -70,3 +70,26 @@ def test_hybrid_runtime_smoke(small_cfg):
     poses, tstamps = slam.terminate()
     assert poses.shape == (len(frames), 7)
     assert np.isfinite(poses).all()
+
+
+def test_device_driver_gradient_bias_selection():
+    """DeviceVO honors CENTROID_SEL_STRAT=GRADIENT_BIAS (reference
+    net.py:119-136): selected centroids concentrate on the textured half
+    of a half-flat image."""
+    from dpvo_tpu.config import cfg as base_cfg
+    from dpvo_tpu.runtime.device_driver import DeviceVO
+
+    c = base_cfg.clone()
+    c.PATCHES_PER_FRAME = 16
+    c.CENTROID_SEL_STRAT = 'GRADIENT_BIAS'
+
+    H, W = 64, 96
+    vo = DeviceVO(c, None, ht=H, wd=W, seed=0)
+    img = np.zeros((H, W, 3), np.uint8)
+    img[:, W // 2:] = np.random.RandomState(0).randint(
+        0, 255, (H, W - W // 2, 3))
+    xy = vo._select_coords(img)
+    assert xy.shape == (16, 2)
+    # centroids are in 1/4-res pixels; textured half starts at W/8
+    frac_textured = float((xy[:, 0] >= (W // 4) / 2).mean())
+    assert frac_textured > 0.8, xy[:, 0]
