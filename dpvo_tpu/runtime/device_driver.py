@@ -94,11 +94,15 @@ class DeviceVO:
         aux[:, 2] = self.rng.rand(self.M)
         aux[:, 3] = tstamp
 
-        from .device_vo import vo_frame_packed
-        self.st = vo_frame_packed(
-            self.params, self.st,
-            jnp.asarray(np.ascontiguousarray(image)),
-            jnp.asarray(aux), oracle=self._oracle, **self._static)
+        from .device_vo import vo_frame_packed1
+        buf = np.empty(self.ht * self.wd * 3 + self.M * 16, np.uint8)
+        buf[:self.ht * self.wd * 3] = np.ascontiguousarray(
+            image, np.uint8).ravel()
+        buf[self.ht * self.wd * 3:] = aux.astype(np.float32).view(
+            np.uint8).ravel()
+        self.st = vo_frame_packed1(
+            self.params, self.st, jnp.asarray(buf),
+            ht=self.ht, wd=self.wd, oracle=self._oracle, **self._static)
 
         if self.viewer is not None:
             self.viewer.update_image(image)

@@ -681,6 +681,24 @@ def vo_frame_packed(params, st, image, aux, **kw):
     return vo_frame(params, st, image, aux[:, :2], aux[:, 2], aux[0, 3], **kw)
 
 
+@partial(jax.jit, static_argnames=_PACK_STATICS + ('ht', 'wd'),
+         donate_argnames=('st', 'buf'))
+def vo_frame_packed1(params, st, buf, *, ht, wd, **kw):
+    """vo_frame from ONE flat uint8 upload: [image bytes | aux bytes].
+
+    buf: (ht*wd*3 + M*16,) uint8 — the (ht, wd, 3) image followed by the
+    (M, 4) float32 aux [x, y, seed, tstamp] reinterpreted as bytes. Halves
+    the per-frame host->device transfer count vs vo_frame_packed (the
+    tunnel charges ~2 ms per device_put)."""
+    M = kw['M']
+    npix = ht * wd * 3
+    image = buf[:npix].reshape(ht, wd, 3)
+    aux4 = jax.lax.bitcast_convert_type(
+        buf[npix:].reshape(M, 4, 4), jnp.float32)        # (M, 4)
+    return vo_frame(params, st, image, aux4[:, :2], aux4[:, 2],
+                    aux4[0, 3], **kw)
+
+
 @partial(jax.jit, static_argnames=_PACK_STATICS, donate_argnames=('st',))
 def vo_frames_packed(params, st, images, aux, **kw):
     """Chunked vo_frames with packed per-frame aux (K, M, 4)."""
