@@ -258,3 +258,45 @@ try:
           f'{np.max(np.abs(a - b)):.4f}')
 except Exception as ex:
     print(f'v2 FAILED: {type(ex).__name__}: {str(ex)[:300]}')
+
+
+# ---------------- v3: VMEM-streamed select kernel ----------------
+from dpvo_tpu.ops.corr_select import select_taps_tpu
+
+try:
+    t = timeit(partial(select_taps_tpu, H=H, W=W, radius=3),
+               p1.reshape(E, P2, WY, WX), yi1, xi1, fy1, fx1, oy1, ox1)
+    print(f'v3 select kernel L1:  {t*1e3:7.2f} ms')
+    t = timeit(partial(select_taps_tpu, H=H2, W=W2, radius=3),
+               p2.reshape(E, P2, WY2, WX2), yi2, xi2, fy2, fx2, oy2, ox2)
+    print(f'v3 select kernel L2:  {t*1e3:7.2f} ms')
+    got = select_taps_tpu(p1.reshape(E, P2, WY, WX), yi1, xi1, fy1, fx1,
+                          oy1, ox1, H=H, W=W, radius=3)
+    ref = cf._select_taps(p1.reshape(E, P2, WY, WX), xi1, yi1, fx1, fy1,
+                          oy1, ox1, H, W, 3, 3)
+    scale = float(jnp.max(jnp.abs(ref)))
+    err = float(jnp.max(jnp.abs(got - ref)))
+    print(f'   parity max|diff|: {err:.4f} (scale {scale:.1f})')
+except Exception as ex:
+    print(f'v3 FAILED: {type(ex).__name__}: {str(ex)[:300]}')
+
+
+# ---------------- end-to-end corr_fused: XLA select vs kernel select ----
+kk_dummy = jnp.arange(E, dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=('sk',))
+def full_corr(g9, fp1, fp2, coords, jslot, sk):
+    return cf.corr_fused(None, fp1, fp2, coords, kk_dummy, jslot,
+                         g9=g9, prepadded=((H, W), (H2, W2)),
+                         select_kernel=sk)
+
+
+for sk in (False, True):
+    try:
+        t = timeit(partial(full_corr, sk=sk), g9, fp1, fp2, coords,
+                   jnp.asarray(jslot))
+        print(f'corr_fused select_kernel={sk}: {t*1e3:7.2f} ms')
+    except Exception as ex:
+        print(f'corr_fused sk={sk} FAILED: {type(ex).__name__}: '
+              f'{str(ex)[:300]}')
