@@ -19,8 +19,9 @@ class ConcatDataset:
 
 
 def dataset_factory(dataset_list, **kwargs):
+    from .synthetic import Synthetic
     from .tartan import TartanAir
-    dataset_map = {'tartan': (TartanAir,)}
+    dataset_map = {'tartan': (TartanAir,), 'synthetic': (Synthetic,)}
     db_list = []
     for key in dataset_list:
         db = dataset_map[key][0](**kwargs)

@@ -62,7 +62,7 @@ def main(args):
 
     rng = np.random.RandomState(1234)
 
-    db = dataset_factory(['tartan'], datapath=args.datapath,
+    db = dataset_factory([args.dataset], datapath=args.datapath,
                          n_frames=args.n_frames)
 
     if args.ckpt is not None:
@@ -144,6 +144,10 @@ if __name__ == '__main__':
     parser.add_argument('--pose_weight', type=float, default=10.0)
     parser.add_argument('--flow_weight', type=float, default=0.1)
     parser.add_argument('--datapath', default='datasets/TartanAir')
+    parser.add_argument('--dataset', default='tartan',
+                        choices=['tartan', 'synthetic'],
+                        help="'synthetic' trains on rendered exact-GT "
+                             "scenes (no dataset download needed)")
     parser.add_argument('--validate', action='store_true',
                         help='run evaluate_tartan on the validation split at '
                              'every checkpoint (reference train.py:151)')
