@@ -351,8 +351,11 @@ def corr_fused(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
     plane2 = plane2[:E].reshape(E, P * P, WY2, WX2)
 
     if select_kernel is None:
-        select_kernel = (not interpret
-                         and jax.default_backend() in ('tpu', 'axon'))
+        if not interpret and jax.default_backend() in ('tpu', 'axon'):
+            from .corr_select import kernel_available
+            select_kernel = kernel_available()   # pre-flights ONCE, cached
+        else:
+            select_kernel = False
     if select_kernel:
         # VMEM-streamed select kernel: one HBM read of the planes instead
         # of one per masked-shift term (ops/corr_select.py)

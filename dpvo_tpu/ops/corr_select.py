@@ -25,6 +25,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 EBS = 256      # edges per grid step
 
+_AVAILABLE = None
+
+
+def kernel_available():
+    """One-time pre-flight: compile+run the kernel on tiny shapes.
+
+    Mosaic lowering of sub-lane-width static slices is the one uncertain
+    construct here; a compile failure must degrade to the XLA select pass
+    (corr_fused._select_taps), not crash the caller's first real dispatch.
+    Result is cached for the process.
+    """
+    global _AVAILABLE
+    if _AVAILABLE is None:
+        try:
+            import numpy as np
+            E = EBS
+            plane = jnp.zeros((E, 9, 12, 24), jnp.bfloat16)
+            ints = jnp.zeros((E, 9), jnp.int32)
+            frac = jnp.zeros((E, 9), jnp.float32)
+            out = select_taps_tpu(plane, ints, ints, frac, frac, ints, ints,
+                                  H=64, W=96, radius=3)
+            _AVAILABLE = bool(np.isfinite(np.asarray(out[0, 0, 0])).all())
+        except Exception as e:              # compile or execute failure
+            import sys
+            print(f'corr_select kernel unavailable, using XLA select: '
+                  f'{type(e).__name__}: {str(e)[:200]}', file=sys.stderr)
+            _AVAILABLE = False
+    return _AVAILABLE
+
 
 def _sel_kernel(plane_ref, yi_ref, xi_ref, fy_ref, fx_ref, oy_ref, ox_ref,
                 out_ref, *, H, W, Wy, Wx, radius):
