@@ -62,6 +62,59 @@ def soft_agg(params, prefix, x, ids, num_segments, mask=None):
     return hy[ids]
 
 
+def soft_agg_ij_pairs(params, prefix, x3, mask3):
+    """SoftAgg over frame-pair groups when edges arrive PAIR-BLOCKED.
+
+    x3 (GP, M, D); mask3 (GP, M) valid edges. The pair id of edge (g, m)
+    is g, so the segment softmax collapses to a masked softmax over the M
+    axis and the scatter-sum to a plain sum — ZERO scatter/gather ops
+    (same math as soft_agg with ids=repeat(arange(GP), M))."""
+    GP, M, D = x3.shape
+    flat = x3.reshape(GP * M, D)
+    fx = linear(params, prefix + '.f', flat).reshape(GP, M, D)
+    gx = linear(params, prefix + '.g', flat).astype(jnp.float32)
+    gx = gx.reshape(GP, M, D)
+    neg = jnp.float32(-1e30)
+    gxm = jnp.where(mask3[..., None], gx, neg)
+    w = jax.nn.softmax(gxm, axis=1)
+    w = jnp.where(mask3[..., None], w, 0.0)
+    y = (fx.astype(jnp.float32) * w).sum(axis=1)              # (GP, D)
+    hy = linear(params, prefix + '.h', y.astype(x3.dtype))
+    return jnp.broadcast_to(hy[:, None], (GP, M, D)).reshape(GP * M, D)
+
+
+def soft_agg_kk_pairs(params, prefix, x3, psl, mask3, num_slots):
+    """SoftAgg over source-patch groups when edges arrive PAIR-BLOCKED.
+
+    Edge (g, m)'s patch group is (psl[g], m) — pairs sharing a source
+    frame share groups. Scatter/gather run at PAIR granularity (GP rows of
+    M*D) instead of E fine-grained rows: TPU row ops at 512×(M·D) instead
+    of 49k×D (fine-grained gathers lower to serial loops on TPU).
+
+    x3 (GP, M, D); psl (GP,) source slot per pair; mask3 (GP, M);
+    num_slots: static slot count (pmem)."""
+    GP, M, D = x3.shape
+    flat = x3.reshape(GP * M, D)
+    fx = linear(params, prefix + '.f', flat).reshape(GP, M, D)
+    gx = linear(params, prefix + '.g', flat).astype(jnp.float32)
+    gx = gx.reshape(GP, M, D)
+    neg = jnp.float32(-1e30)
+    gxm = jnp.where(mask3[..., None], gx, neg)
+
+    mx = jnp.full((num_slots, M, D), neg).at[psl].max(gxm, mode='drop')
+    ex = jnp.exp(gxm - mx[psl])
+    ex = jnp.where(mask3[..., None], ex, 0.0)
+    den = jnp.zeros((num_slots, M, D), jnp.float32).at[psl].add(
+        ex, mode='drop')
+    w = ex / jnp.maximum(den[psl], 1e-30)
+
+    y = jnp.zeros((num_slots, M, D), jnp.float32).at[psl].add(
+        fx.astype(jnp.float32) * w, mode='drop')
+    hy = linear(params, prefix + '.h',
+                y.reshape(num_slots * M, D).astype(x3.dtype))
+    return hy.reshape(num_slots, M, D)[psl].reshape(GP * M, D)
+
+
 # ---------------------------------------------------------------------------
 # gradient clamps (reference dpvo/blocks.py:70-107) — identity forward,
 # clipped/zeroed backward; used on the update heads during training

@@ -175,10 +175,27 @@ def update_op(params, net, inp, corr_feat, ix, jx, kk_ids, pair_ids,
     net = net + mlp2(p, 'update.c2.0', 'update.c2.2',
                      mask_jx * neighbor(net, jx, gp[1]))
 
-    net = net + soft_agg(p, 'update.agg_kk', net, kk_ids, num_segments_kk,
-                         mask=edge_mask)
-    net = net + soft_agg(p, 'update.agg_ij', net, pair_ids, num_segments_ij,
-                         mask=edge_mask)
+    if gather_pairs is not None:
+        # pair-blocked tables (DeviceVO): pair_ids == repeat(arange(GP), M)
+        # and kk_ids == psl[g]*M + m, so both aggregations run at pair
+        # granularity — agg_ij with NO scatter at all, agg_kk with GP-row
+        # scatters instead of E fine-grained ones (serial-loop territory
+        # on TPU)
+        from .blocks import soft_agg_ij_pairs, soft_agg_kk_pairs
+        Mg = gather_pairs[2]
+        GP = net.shape[0] // Mg
+        net3 = net.reshape(GP, Mg, DIM)
+        mask3 = edge_mask.reshape(GP, Mg)
+        psl = kk_ids.reshape(GP, Mg)[:, 0] // Mg
+        net = net + soft_agg_kk_pairs(p, 'update.agg_kk', net3, psl, mask3,
+                                      num_segments_kk // Mg)
+        net3 = net.reshape(GP, Mg, DIM)
+        net = net + soft_agg_ij_pairs(p, 'update.agg_ij', net3, mask3)
+    else:
+        net = net + soft_agg(p, 'update.agg_kk', net, kk_ids,
+                             num_segments_kk, mask=edge_mask)
+        net = net + soft_agg(p, 'update.agg_ij', net, pair_ids,
+                             num_segments_ij, mask=edge_mask)
 
     net = layer_norm(p, 'update.gru.0', net)
     net = gated_residual(p, 'update.gru.1', net)

@@ -391,3 +391,54 @@ def test_fused_encoder_matches_separate():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(fb),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pair_blocked_aggregation_matches_segment_path():
+    """update_op's pair-granular SoftAgg fast path (gather_pairs given)
+    must reproduce the generic segment-softmax path bit-for-bit-ish on the
+    same pair-blocked tables (the DeviceVO contract: pair_ids =
+    repeat(arange(GP), M), kk_ids = psl*M + m)."""
+    import jax.numpy as jnp
+    from dpvo_tpu.models.vonet import DIM, init_vonet_params, update_op
+    from dpvo_tpu.models.vonet import VONetParams
+
+    rng = np.random.RandomState(5)
+    GP, M, pmem = 12, 4, 6
+    E = GP * M
+    raw = {k: jnp.asarray(v) for k, v in init_vonet_params(0).items()}
+    params = VONetParams(
+        f32=raw, bf16={k: v.astype(jnp.bfloat16) for k, v in raw.items()})
+
+    net = jnp.asarray(rng.randn(E, DIM).astype(np.float32))
+    inp = jnp.asarray(rng.randn(E, DIM).astype(np.float32))
+    corr = jnp.asarray(rng.randn(E, 2 * 49 * 9).astype(np.float32))
+
+    psl = rng.randint(0, pmem, GP).astype(np.int32)     # shared slots
+    mar = np.arange(M, dtype=np.int32)
+    kk_ids = (psl[:, None] * M + mar[None, :]).reshape(E)
+    pair_ids = np.repeat(np.arange(GP, dtype=np.int32), M)
+    ix_pair = rng.randint(-1, GP, GP).astype(np.int32)
+    jx_pair = rng.randint(-1, GP, GP).astype(np.int32)
+    ix_e = np.where(ix_pair[:, None] >= 0,
+                    ix_pair[:, None] * M + mar[None, :], -1).reshape(E)
+    jx_e = np.where(jx_pair[:, None] >= 0,
+                    jx_pair[:, None] * M + mar[None, :], -1).reshape(E)
+    mask = rng.rand(GP) > 0.2                            # whole-pair masks
+    edge_mask = np.repeat(mask, M)
+
+    args = (params, net, inp, corr, jnp.asarray(ix_e), jnp.asarray(jx_e),
+            jnp.asarray(kk_ids), jnp.asarray(pair_ids))
+    kw = dict(num_segments=E, edge_mask=jnp.asarray(edge_mask),
+              mixed_precision=False, num_segments_kk=pmem * M,
+              num_segments_ij=GP)
+
+    n0, d0, w0 = update_op(*args, **kw)
+    n1, d1, w1 = update_op(*args, **kw,
+                           gather_pairs=(jnp.asarray(ix_pair),
+                                         jnp.asarray(jx_pair), M))
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n0),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w0),
+                               rtol=2e-4, atol=2e-4)
