@@ -1,0 +1,90 @@
+"""Synthetic-scene evaluation — the in-repo regression protocol.
+
+The reference's accuracy regression baseline is its checked-in result logs
+(logs/euroc.txt etc.: N trials per sequence, per-scene sorted ATEs, median,
+AVG — evaluate_tartan.py:129-146). No dataset exists in this environment,
+so this script runs the SAME protocol over rendered exact-GT sequences
+(data_readers/synthetic.py) and writes `logs/synthetic_*.txt` in the same
+format. With `artifacts/micro_vonet.npz` (scripts/train_synthetic.py) it
+certifies the learned loop; with --network none it records the
+random-weights floor.
+
+    python evaluate_synthetic.py --trials 3 --network artifacts/micro_vonet.npz
+"""
+import argparse
+import datetime
+from pathlib import Path
+
+import numpy as np
+
+from dpvo_tpu.config import cfg
+from dpvo_tpu.evaluation import ate_rmse, poses_to_trajectory
+from dpvo_tpu.runtime import DPVO
+
+SCENES = {f'synth_{s:03d}': s for s in (900, 901, 902, 903, 904)}
+T, H, W, STEP = 30, 64, 96, 0.12
+
+
+def run_once(seq, network, seed):
+    c = cfg.clone()
+    c.BUFFER_SIZE = 128
+    c.PATCHES_PER_FRAME = 8
+    c.PATCH_LIFETIME = 6
+    c.REMOVAL_WINDOW = 12
+    c.OPTIMIZATION_WINDOW = 10
+    c.KEYFRAME_THRESH = -1.0
+    c.MIXED_PRECISION = False
+
+    images, intr = seq['images'], seq['intrinsics']
+    slam = DPVO(c, network, ht=H, wd=W, seed=seed)
+    if hasattr(slam, '_static'):
+        slam._static['force_accept'] = True
+    else:
+        slam.motion_probe = lambda: 100.0
+    for t in range(T):
+        slam(t, images[t], intr)
+    poses, tstamps = slam.terminate()
+
+    est = poses_to_trajectory(poses, tstamps)
+    gt = poses_to_trajectory(seq['wfc'], np.arange(T))
+    return float(ate_rmse(est, gt, correct_scale=True))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--network', default='artifacts/micro_vonet.npz')
+    ap.add_argument('--trials', type=int, default=3)
+    ap.add_argument('--config', default='config/default.yaml')
+    ap.add_argument('--opts', nargs='+', default=[])
+    args = ap.parse_args()
+
+    cfg.merge_from_file(args.config)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    network = None if args.network in ('none', 'None', '') else args.network
+
+    from dpvo_tpu.data_readers.synthetic import make_sequence
+
+    results = {}
+    for name, seed in SCENES.items():
+        seq = make_sequence(seed, T=T, H=H, W=W, step=STEP)
+        results[name] = sorted(
+            run_once(seq, network, 1234 + i) for i in range(args.trials))
+        print(f'{name}: {results[name]}')
+
+    meds = {k: float(np.median(v)) for k, v in results.items()}
+    avg = float(np.mean(list(meds.values())))
+    Path('logs').mkdir(exist_ok=True)
+    stamp = datetime.datetime.now().strftime('%m-%d-%H-%M')
+    tag = 'trained' if network else 'random'
+    out = Path('logs') / f'synthetic_{tag}_{stamp}.txt'
+    with open(out, 'w') as f:
+        for k, v in results.items():
+            f.write(f'{k}: {[round(x, 4) for x in v]} '
+                    f'median {meds[k]:.4f}\n')
+        f.write(f'AVG: {avg:.5f}\n')
+    print(f'AVG: {avg:.5f}  -> {out}')
+
+
+if __name__ == '__main__':
+    main()
