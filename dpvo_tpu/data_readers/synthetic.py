@@ -145,12 +145,13 @@ def make_sequence(seed, T=15, H=64, W=96, step=0.12):
                 disps4=disps4, intrinsics=intr, wfc=wfc)
 
 
-def make_batch(seeds, T=15, M=8, H=64, W=96, step=0.12):
-    """Stack sequences into the trainer's batch dict (train/trainer.py)."""
-    seqs = [make_sequence(s, T=T, H=H, W=W, step=step) for s in seeds]
+def make_batch_from(seqs, rng, M):
+    """Stack pre-rendered sequences into the trainer's batch dict
+    (train/trainer.py contract) with fresh patch coords / depth seeds."""
     B = len(seqs)
-    rng = np.random.RandomState(seeds[0] * 7919 + 13)
-    H4, W4 = H // 4, W // 4
+    T = seqs[0]['images'].shape[0]
+    H4 = seqs[0]['images'].shape[1] // 4
+    W4 = seqs[0]['images'].shape[2] // 4
     coords = np.stack([rng.randint(1, W4 - 1, (B, T, M)),
                        rng.randint(1, H4 - 1, (B, T, M))],
                       -1).astype(np.float32)
@@ -162,6 +163,13 @@ def make_batch(seeds, T=15, M=8, H=64, W=96, step=0.12):
         coords=coords,
         depth_init=rng.uniform(0.2, 0.6, (B, T, M)).astype(np.float32),
     )
+
+
+def make_batch(seeds, T=15, M=8, H=64, W=96, step=0.12):
+    """Render + stack (convenience wrapper over make_batch_from)."""
+    seqs = [make_sequence(s, T=T, H=H, W=W, step=step) for s in seeds]
+    rng = np.random.RandomState(seeds[0] * 7919 + 13)
+    return make_batch_from(seqs, rng, M)
 
 
 class Synthetic:

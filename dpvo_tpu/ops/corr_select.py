@@ -41,12 +41,17 @@ def kernel_available():
         try:
             import numpy as np
             E = EBS
-            plane = jnp.zeros((E, 9, 12, 24), jnp.bfloat16)
             ints = jnp.zeros((E, 9), jnp.int32)
             frac = jnp.zeros((E, 9), jnp.float32)
-            out = select_taps_tpu(plane, ints, ints, frac, frac, ints, ints,
-                                  H=64, W=96, radius=3)
-            _AVAILABLE = bool(np.isfinite(np.asarray(out[0, 0, 0])).all())
+            ok = True
+            # probe BOTH production window shapes (L1 and L2) — a Mosaic
+            # lowering failure specific to one must also degrade
+            for wy, wx in ((12, 24), (10, 16)):
+                plane = jnp.zeros((E, 9, wy, wx), jnp.bfloat16)
+                out = select_taps_tpu(plane, ints, ints, frac, frac, ints,
+                                      ints, H=64, W=96, radius=3)
+                ok &= bool(np.isfinite(np.asarray(out[0, 0, 0])).all())
+            _AVAILABLE = ok
         except Exception as e:              # compile or execute failure
             import sys
             print(f'corr_select kernel unavailable, using XLA select: '

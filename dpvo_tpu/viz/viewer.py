@@ -112,14 +112,19 @@ class Viewer:
                             self._render_3d(*payload)
                         except Exception:
                             pass
-                # always refresh the interactive artifact (the headless
-                # answer to the reference's live Pangolin navigation)
-                try:
-                    from .html_viewer import save_html_viewer
-                    save_html_viewer(str(self.outdir / 'viewer.html'),
-                                     *payload)
-                except Exception:
-                    pass
+                # refresh the interactive artifact (the headless answer to
+                # the reference's live Pangolin navigation), THROTTLED:
+                # rebuilding is O(map size) host work on a ~2-core box
+                import time as _time
+                now = _time.time()
+                if now - getattr(self, '_last_html', 0.0) > 5.0:
+                    self._last_html = now
+                    try:
+                        from .html_viewer import save_html_viewer
+                        save_html_viewer(str(self.outdir / 'viewer.html'),
+                                         *payload)
+                    except Exception:
+                        pass
 
     def _save_cloud(self, points, colors):
         from ..plot_utils import save_ply

@@ -13,41 +13,27 @@ random-weights floor.
 """
 import argparse
 import datetime
+import os
+import sys
 from pathlib import Path
 
 import numpy as np
 
 from dpvo_tpu.config import cfg
-from dpvo_tpu.evaluation import ate_rmse, poses_to_trajectory
-from dpvo_tpu.runtime import DPVO
+
+# the rollout/ATE protocol is OWNED by scripts/train_synthetic.run_vo_ate
+# (also what tests/test_learned_ate.py certifies) — one implementation
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                'scripts'))
+from train_synthetic import run_vo_ate  # noqa: E402
 
 SCENES = {f'synth_{s:03d}': s for s in (900, 901, 902, 903, 904)}
 T, H, W, STEP = 30, 64, 96, 0.12
 
 
 def run_once(seq, network, seed):
-    c = cfg.clone()
-    c.BUFFER_SIZE = 128
-    c.PATCHES_PER_FRAME = 8
-    c.PATCH_LIFETIME = 6
-    c.REMOVAL_WINDOW = 12
-    c.OPTIMIZATION_WINDOW = 10
-    c.KEYFRAME_THRESH = -1.0
-    c.MIXED_PRECISION = False
-
-    images, intr = seq['images'], seq['intrinsics']
-    slam = DPVO(c, network, ht=H, wd=W, seed=seed)
-    if hasattr(slam, '_static'):
-        slam._static['force_accept'] = True
-    else:
-        slam.motion_probe = lambda: 100.0
-    for t in range(T):
-        slam(t, images[t], intr)
-    poses, tstamps = slam.terminate()
-
-    est = poses_to_trajectory(poses, tstamps)
-    gt = poses_to_trajectory(seq['wfc'], np.arange(T))
-    return float(ate_rmse(est, gt, correct_scale=True))
+    err, _path = run_vo_ate(network, seq, seed=seed)
+    return err
 
 
 def main():

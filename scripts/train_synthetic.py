@@ -32,21 +32,8 @@ def build_batch_pool(n_seqs, T, M, H, W, step, seed0=100):
 
 
 def assemble_batch(seqs, idx, rng, M):
-    T = seqs[0]['images'].shape[0]
-    H4 = seqs[0]['images'].shape[1] // 4
-    W4 = seqs[0]['images'].shape[2] // 4
-    B = len(idx)
-    coords = np.stack([rng.randint(1, W4 - 1, (B, T, M)),
-                       rng.randint(1, H4 - 1, (B, T, M))],
-                      -1).astype(np.float32)
-    return dict(
-        images=np.stack([seqs[i]['images'] for i in idx]).astype(np.float32),
-        poses_gt=np.stack([seqs[i]['poses_w2c'] for i in idx]),
-        disps=np.stack([seqs[i]['disps4'] for i in idx]),
-        intrinsics=np.stack([seqs[i]['intrinsics'] for i in idx]),
-        coords=coords,
-        depth_init=rng.uniform(0.2, 0.6, (B, T, M)).astype(np.float32),
-    )
+    from dpvo_tpu.data_readers.synthetic import make_batch_from
+    return make_batch_from([seqs[i] for i in idx], rng, M)
 
 
 def run_vo_ate(params_path, seq, force_accept=True, seed=7):
