@@ -143,6 +143,9 @@ def main():
             if it % 50 == 0 or it == args.steps - 1:
                 print(f'[train] it={it:5d} loss={float(loss):9.4f} '
                       f'({(time.time()-t0):.0f}s)', flush=True)
+            if it and it % 200 == 0:
+                save_params_npz({k: np.asarray(v)
+                                 for k, v in params.items()}, npz_path)
         save_params_npz({k: np.asarray(v) for k, v in params.items()},
                         npz_path)
         print(f'[train] saved {npz_path}')
