@@ -23,9 +23,53 @@ work per frame as a real checkpoint.
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+
+def wait_for_backend(max_wait=240.0):
+    """Poll TPU backend init until it succeeds or `max_wait` elapses.
+
+    The round-2 driver bench was erased by a transient tunnel failure: the
+    first `jax.devices()` raised `Unable to initialize backend 'axon'` and
+    JAX caches that failure for the process. Probing in a SUBPROCESS keeps
+    this process's backend cache clean — once a probe succeeds, the real
+    import below initializes fresh. Returns (platform|None, last_error).
+    """
+    import subprocess
+    deadline = time.time() + max_wait
+    delay = 5.0
+    last = 'no probe ran'
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, '-c',
+                 'import jax; print(jax.devices()[0].platform)'],
+                capture_output=True, text=True, timeout=90)
+            if r.returncode == 0 and r.stdout.strip():
+                return r.stdout.strip(), None
+            last = (r.stderr or r.stdout or 'empty probe output')[-800:]
+        except Exception as e:                    # timeout, spawn failure
+            last = f'{type(e).__name__}: {e}'
+        if time.time() >= deadline:
+            return None, last
+        print(f'[bench] backend not ready, retrying in {delay:.0f}s: '
+              f'{last.splitlines()[-1] if last.strip() else last}',
+              file=sys.stderr)
+        time.sleep(delay)
+        delay = min(delay * 1.6, 30.0)
+
+
+def emit_failure(metric, error):
+    """A bench failure must still print ONE parseable JSON line and exit 0
+    (an rc=1 run records nothing at all — see VERDICT round 2)."""
+    print(json.dumps({
+        'metric': metric, 'value': 0.0, 'unit': 'fps', 'vs_baseline': 0.0,
+        'error': str(error)[-2000:],
+    }))
+    sys.exit(0)
 
 
 def synth_frames(n, H, W, seed=0):
@@ -213,11 +257,23 @@ def main():
         cfg.merge_from_list(args.opts)
 
     H, W = args.height, args.width
+    metric = f'vo_fps_{W}x{H}_default'
     n_frames = args.warmup + args.segments * args.seg_frames + 8
     frames = synth_frames(n_frames, H, W)
     intr = np.array([W * 0.73, W * 0.73, W / 2, H / 2], np.float32)
 
-    fps, spread, segs, dev_ms = run_mode(cfg, args, H, W, frames, intr, 'vo')
+    platform, err = wait_for_backend()
+    if platform is None:
+        emit_failure(metric, f'backend init failed after retries: {err}')
+    print(f'[bench] backend ready: {platform}', file=sys.stderr)
+
+    try:
+        fps, spread, segs, dev_ms = run_mode(cfg, args, H, W, frames, intr,
+                                             'vo')
+    except Exception as e:
+        import traceback
+        traceback.print_exc()
+        emit_failure(metric, f'{type(e).__name__}: {e}')
     baseline = 60.0  # RTX-3090 paper figure
 
     extra = {}
@@ -248,7 +304,7 @@ def main():
 
     flops = flops_per_frame(cfg, H, W)
     print(json.dumps({
-        'metric': f'vo_fps_{W}x{H}_default',
+        'metric': metric,
         'value': round(fps, 2),
         'unit': 'fps',
         'vs_baseline': round(fps / baseline, 3),

@@ -51,7 +51,7 @@ class MultiStreamVO:
             motion_damping=float(cfg.MOTION_DAMPING),
             motion_model=cfg.MOTION_MODEL,
             mixed_precision=bool(cfg.MIXED_PRECISION),
-            use_pallas=jax.default_backend() in ('tpu', 'axon'),
+            corr_impl='fused',  # shard_map body: keep the portable path
         )
 
         def step_one(params, st, image, coords, seeds, ts):

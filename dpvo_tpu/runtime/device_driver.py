@@ -17,6 +17,26 @@ from ..utils.fetch import fetch
 from .device_vo import init_state, vo_frame, _gp_cap
 
 
+def _pick_corr_impl():
+    """Select the correlation implementation OUTSIDE any jit trace.
+
+    Pre-flighting inside a trace would concretization-fail and silently
+    poison the cached availability flag; deciding here (driver init) keeps
+    the static jit arg honest. DPVO_CORR_IMPL overrides for A/B benching
+    ('onepass' | 'fused_k' | 'fused')."""
+    import os
+    forced = os.environ.get('DPVO_CORR_IMPL', '')
+    if forced in ('onepass', 'fused_k', 'fused'):
+        return forced
+    if jax.default_backend() not in ('tpu', 'axon'):
+        return 'fused'
+    from ..ops.corr_onepass import kernel_available as _onepass_ok
+    if _onepass_ok():
+        return 'onepass'
+    from ..ops.corr_select import kernel_available as _select_ok
+    return 'fused_k' if _select_ok() else 'fused'
+
+
 class DeviceVO:
     """Same public surface as DPVO (construct / __call__ / terminate)."""
 
@@ -44,7 +64,7 @@ class DeviceVO:
             motion_damping=float(cfg.MOTION_DAMPING),
             motion_model=cfg.MOTION_MODEL,
             mixed_precision=bool(cfg.MIXED_PRECISION),
-            use_pallas=jax.default_backend() in ('tpu', 'axon'),
+            corr_impl=_pick_corr_impl(),
         )
         self.st = None
         self.tlist = []
@@ -187,7 +207,7 @@ class DeviceVO:
                                 oracle=self._oracle, **{
                 k: v for k, v in self._static.items()
                 if k in ('M', 'pmem', 'mem', 'W', 'PCF', 'opt_window',
-                         'mixed_precision', 'use_pallas')})
+                         'mixed_precision', 'corr_impl')})
 
         # the one big readback of the run (poll first: a blocking
         # fetch on a pending array stalls the tunnel, utils/fetch.py)

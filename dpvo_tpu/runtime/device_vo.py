@@ -33,6 +33,7 @@ from ..ba_pairs import bundle_adjust_pairs, pair_centers, pair_depth
 from ..models.vonet import DIM, P, patchify_frame, update_op
 from ..ops.corr_fused import (corr_fused, pad_hw, pad_hw2,
                               pad_slab, pad_slab2)
+from ..ops.corr_onepass import corr_onepass
 
 CNT_CAP = 16384     # max input frames per sequence
 
@@ -275,10 +276,15 @@ def _call_oracle(oracle, st, poses, depth, M, GP):
     edge-granular (ii, jj, kk) plus (NM, 2, P, P) patch grids; the device
     state stores pair-granular tables and bare centers, so synthesize the
     edge view (only the center tap of patch_xy is real — the stock oracles
-    read patch_xy[kk][:, :, P//2, P//2] exclusively)."""
+    read patch_xy[kk][:, :, P//2, P//2] exclusively).
+
+    ii/jj are remapped through st.tstamps to INPUT-FRAME indices: after a
+    keyframe removal the keyframe-local indices shift, but a ground-truth
+    oracle indexes its gt trajectory by input frame. Identity map when no
+    removal has fired, so removal-free tests are unchanged."""
     marange = jnp.arange(M, dtype=jnp.int32)
-    ii_e = jnp.repeat(st.pi, M)
-    jj_e = jnp.repeat(st.pj, M)
+    ii_e = jnp.repeat(st.tstamps[st.pi].astype(jnp.int32), M)
+    jj_e = jnp.repeat(st.tstamps[st.pj].astype(jnp.int32), M)
     kk_e = (st.pi[:, None] * M + marange[None, :]).reshape(GP * M)
     patch_xy = jnp.broadcast_to(st.centers[:, :, None, None],
                                 st.centers.shape + (P, P))
@@ -289,13 +295,13 @@ def _call_oracle(oracle, st, poses, depth, M, GP):
 @partial(jax.jit,
          static_argnames=('M', 'pmem', 'mem', 'W', 'PCF', 'r', 'kf_index',
                           'opt_window', 'removal_window', 'mixed_precision',
-                          'use_pallas', 'kf_thresh', 'motion_damping',
+                          'corr_impl', 'kf_thresh', 'motion_damping',
                           'motion_model', 'force_accept', 'oracle'),
          donate_argnames=('st',))
 def vo_frame(params, st, image, coords, depth_seed, tstamp,
              *, M, pmem, mem, W, PCF, r, kf_index, opt_window,
              removal_window, kf_thresh, motion_damping, motion_model,
-             mixed_precision=True, use_pallas=True, force_accept=False,
+             mixed_precision=True, corr_impl='fused', force_accept=False,
              oracle=None):
     """Track one frame entirely on device (reference dpvo.py:377-473).
 
@@ -386,10 +392,19 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
         jj_slot = jnp.repeat(_slot_of(st.fslot, pj_a), M)
         g9 = st.gmap.reshape(pmem, M, P * P, st.gmap.shape[-1])[psl]
         h4, w4 = image.shape[0] // 4, image.shape[1] // 4
-        c1, c2 = corr_fused(st.gmap, st.fmap1, st.fmap2, coords_f,
-                            kk_slot, jj_slot,
-                            g9=g9.reshape(E, P * P, st.gmap.shape[-1]),
-                            prepadded=((h4, w4), (h4 // 4, w4 // 4)))
+        ckw = dict(g9=g9.reshape(E, P * P, st.gmap.shape[-1]),
+                   prepadded=((h4, w4), (h4 // 4, w4 // 4)))
+        if corr_impl == 'onepass':
+            # valid pairs are a compacted prefix: edges past nv skip the
+            # MXU dots entirely and emit exact zeros
+            nv = jnp.sum(pv_a.astype(jnp.int32)) * M
+            c1, c2 = corr_onepass(st.gmap, st.fmap1, st.fmap2, coords_f,
+                                  kk_slot, jj_slot, nv=nv, **ckw)
+        else:
+            c1, c2 = corr_fused(st.gmap, st.fmap1, st.fmap2, coords_f,
+                                kk_slot, jj_slot,
+                                select_kernel=(corr_impl == 'fused_k'),
+                                **ckw)
         corr_feat = jnp.stack([c1, c2], axis=-1).reshape(E, -1)
         inp = st.imap.reshape(pmem, M * DIM)[psl].reshape(E, DIM)
         return coords_r, corr_feat, inp
@@ -555,11 +570,11 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
 
 @partial(jax.jit,
          static_argnames=('M', 'pmem', 'mem', 'W', 'PCF', 'opt_window',
-                          'mixed_precision', 'use_pallas', 'ht4', 'wd4',
+                          'mixed_precision', 'corr_impl', 'ht4', 'wd4',
                           'oracle'),
          donate_argnames=('st',))
 def vo_refine(params, st, *, M, pmem, mem, W, PCF, opt_window,
-              mixed_precision=True, use_pallas=True, ht4=None, wd4=None,
+              mixed_precision=True, corr_impl='fused', ht4=None, wd4=None,
               oracle=None):
     """One update+BA iteration over the existing pairs (terminate(), which
     runs this 12x — reference dpvo.py:181-183)."""
@@ -605,10 +620,16 @@ def vo_refine(params, st, *, M, pmem, mem, W, PCF, opt_window,
     kk_slot = (psl[:, None] * M + marange[None, :]).reshape(E)
     jj_slot = jnp.repeat(_slot_of(st.fslot, st.pj), M)
     g9 = st.gmap.reshape(pmem, M, P * P, st.gmap.shape[-1])[psl]
-    c1, c2 = corr_fused(st.gmap, st.fmap1, st.fmap2, coords_f,
-                        kk_slot, jj_slot,
-                        g9=g9.reshape(E, P * P, st.gmap.shape[-1]),
-                        prepadded=((ht4, wd4), (ht4 // 4, wd4 // 4)))
+    ckw = dict(g9=g9.reshape(E, P * P, st.gmap.shape[-1]),
+               prepadded=((ht4, wd4), (ht4 // 4, wd4 // 4)))
+    if corr_impl == 'onepass':
+        nv = jnp.sum(st.pvalid.astype(jnp.int32)) * M
+        c1, c2 = corr_onepass(st.gmap, st.fmap1, st.fmap2, coords_f,
+                              kk_slot, jj_slot, nv=nv, **ckw)
+    else:
+        c1, c2 = corr_fused(st.gmap, st.fmap1, st.fmap2, coords_f,
+                            kk_slot, jj_slot,
+                            select_kernel=(corr_impl == 'fused_k'), **ckw)
     corr_feat = jnp.stack([c1, c2], axis=-1).reshape(E, -1)
     inp = st.imap.reshape(pmem, M * DIM)[psl].reshape(E, DIM)
 
@@ -633,13 +654,13 @@ def vo_refine(params, st, *, M, pmem, mem, W, PCF, opt_window,
 @partial(jax.jit,
          static_argnames=('M', 'pmem', 'mem', 'W', 'PCF', 'r', 'kf_index',
                           'opt_window', 'removal_window', 'mixed_precision',
-                          'use_pallas', 'kf_thresh', 'motion_damping',
+                          'corr_impl', 'kf_thresh', 'motion_damping',
                           'motion_model', 'force_accept', 'oracle'),
          donate_argnames=('st',))
 def vo_frames(params, st, images, coords, depth_seeds, tstamps,
               *, M, pmem, mem, W, PCF, r, kf_index, opt_window,
               removal_window, kf_thresh, motion_damping, motion_model,
-              mixed_precision=True, use_pallas=True, force_accept=False,
+              mixed_precision=True, corr_impl='fused', force_accept=False,
               oracle=None):
     """Track a CHUNK of K frames in ONE dispatch: lax.scan over vo_frame.
 
@@ -656,7 +677,7 @@ def vo_frames(params, st, images, coords, depth_seeds, tstamps,
               opt_window=opt_window, removal_window=removal_window,
               kf_thresh=kf_thresh, motion_damping=motion_damping,
               motion_model=motion_model, mixed_precision=mixed_precision,
-              use_pallas=use_pallas, force_accept=force_accept,
+              corr_impl=corr_impl, force_accept=force_accept,
               oracle=oracle)
 
     def body(carry, xs):
@@ -669,7 +690,7 @@ def vo_frames(params, st, images, coords, depth_seeds, tstamps,
 
 _PACK_STATICS = ('M', 'pmem', 'mem', 'W', 'PCF', 'r', 'kf_index',
                  'opt_window', 'removal_window', 'mixed_precision',
-                 'use_pallas', 'kf_thresh', 'motion_damping',
+                 'corr_impl', 'kf_thresh', 'motion_damping',
                  'motion_model', 'force_accept', 'oracle')
 
 

@@ -107,10 +107,13 @@ class DPVO:
         self._deferred = None    # previous frame's (mirror, ns, t0, pb, aw)
         self._pending_kf_k = -1
         self._host_to_dev = np.zeros(0, np.int32)  # edge -> device net row
-        self._use_pallas = jax.default_backend() in ('tpu', 'axon')
+        # 'onepass' = single-kernel planes+select (ops/corr_onepass.py);
         # 'fused' = frame-resident Pallas corr kernel (ops/corr_fused.py);
-        # 'xla' = pure-XLA fallback (ops/corr.py) for CPU/debug runs
-        self._corr_mode = 'fused'
+        # 'xla' = pure-XLA fallback (ops/corr.py) for CPU/debug runs.
+        # Decided OUTSIDE any jit trace (device_driver._pick_corr_impl).
+        from .device_driver import _pick_corr_impl
+        self._corr_mode = ('onepass' if _pick_corr_impl() == 'onepass'
+                           else 'fused')
         # optional test seam: (poses, patch_xy, depth, intr, ii, jj, kk) ->
         # (target, weight), replacing the learned corr+update path
         self._oracle = None

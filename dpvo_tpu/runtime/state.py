@@ -188,13 +188,15 @@ def update_step(params, poses, patch_xy, depth, intrinsics,
         return net, poses, depth, target, weight, delta
 
     gmap_flat = gmap_buf                                  # (pmem*M, P, P, 128)
-    if corr_mode == 'fused':
+    if corr_mode in ('fused', 'onepass'):
         from ..ops.corr_fused import corr_fused
+        from ..ops.corr_onepass import corr_onepass
+        fn = corr_onepass if corr_mode == 'onepass' else corr_fused
         g9 = _gather_patch_rows(gmap_flat, kk_slot, used_frames, M,
                                 gmap_remap)
-        c1, c2 = corr_fused(gmap_flat, fmap1_buf, fmap2_buf, coords,
-                            kk_slot, jj_slot,
-                            g9=g9.reshape(kk_slot.shape[0], P * P, -1))
+        c1, c2 = fn(gmap_flat, fmap1_buf, fmap2_buf, coords,
+                    kk_slot, jj_slot,
+                    g9=g9.reshape(kk_slot.shape[0], P * P, -1))
     else:
         # XLA fallback. When the host remapped kk_slot into a compacted
         # REMAP_CAP-frame table, gather that compacted gmap first so the
@@ -410,14 +412,16 @@ def frame_step(params, poses, patch_xy, depth, intrinsics,
          pair_ids) = edge_table[:9]
         coords_r = _reproject(poses, patch_xy, depth, intrinsics, ii, jj, kk)
 
-        if corr_mode == 'fused':
+        if corr_mode in ('fused', 'onepass'):
             from ..ops.corr_fused import corr_fused
+            from ..ops.corr_onepass import corr_onepass
+            fn = corr_onepass if corr_mode == 'onepass' else corr_fused
             used_frames = edge_table[11][:REMAP_CAP]
             g9 = _gather_patch_rows(gmap_buf, kk_slot, used_frames, M,
                                     gmap_remap)
-            c1, c2 = corr_fused(gmap_buf, fmap1_buf, fmap2_buf, coords_r,
-                                kk_slot, jj_slot,
-                                g9=g9.reshape(kk_slot.shape[0], P * P, -1))
+            c1, c2 = fn(gmap_buf, fmap1_buf, fmap2_buf, coords_r,
+                        kk_slot, jj_slot,
+                        g9=g9.reshape(kk_slot.shape[0], P * P, -1))
         else:
             # XLA fallback; honor the host kk_slot remap (ADVICE r1 #1)
             gsrc = gmap_buf

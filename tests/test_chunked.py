@@ -37,7 +37,7 @@ def _static(c):
         kf_thresh=float(c.KEYFRAME_THRESH),
         motion_damping=float(c.MOTION_DAMPING),
         motion_model=c.MOTION_MODEL, mixed_precision=True,
-        use_pallas=False, force_accept=True)
+        corr_impl='fused', force_accept=True)
 
 
 def test_chunked_matches_per_frame():

@@ -139,3 +139,78 @@ def test_oracle_vo_recovers_trajectory():
     assert np.isfinite(err)
     # oracle targets + exact BA should land well under 2% of path length
     assert err < 0.02 * path_len, f'ATE {err:.4f} vs path {path_len:.3f}'
+
+
+def make_gt_poses_dwell(n, dwell=(12, 19), step=0.25, dwell_step=0.05):
+    """Trajectory with a mid-sequence DWELL (slow segment): frames in
+    [dwell[0], dwell[1]) advance by dwell_step instead of step, so their
+    center flow drops under an active KEYFRAME_THRESH and the in-graph
+    keyframe-removal path actually fires (device_vo.py:519-549; reference
+    dpvo.py:266-310)."""
+    rng = np.random.RandomState(0)
+    del rng
+    poses = np.zeros((n, 7), np.float32)
+    x = 0.0
+    for i in range(n):
+        yaw = 0.03 * np.sin(0.2 * i)
+        pos = np.array([x, 0.05 * np.sin(0.3 * i), 0.1 * np.sin(0.17 * i)])
+        q = np.array([0.0, np.sin(yaw / 2), 0.0, np.cos(yaw / 2)])
+        wfc = np.concatenate([pos, q]).astype(np.float32)
+        poses[i] = np.asarray(lie.se3_inv(jnp.asarray(wfc)))
+        x += dwell_step if dwell[0] <= i < dwell[1] else step
+    return poses
+
+
+@pytest.mark.slow
+def test_oracle_vo_with_keyframe_removal():
+    """Keyframe removal under an ATE assertion (device runtime).
+
+    KEYFRAME_THRESH is ACTIVE and a dwell makes removal fire repeatedly;
+    the final trajectory must still match ground truth INCLUDING the
+    removed (non-keyframe) input frames, whose poses are reconstructed at
+    terminate via the delta chain (device_vo.py:527-541 -> delta_src /
+    delta_pose; reference dpvo.py:185-190). A wrong delta_pose composition
+    or wrong post-removal edge re-indexing fails this test."""
+    from dpvo_tpu.runtime.device_driver import DeviceVO
+    from dpvo_tpu.utils.fetch import fetch
+
+    cfg = base_cfg.clone()
+    cfg.BUFFER_SIZE = 64
+    cfg.PATCHES_PER_FRAME = 4
+    cfg.PATCH_LIFETIME = 5
+    cfg.REMOVAL_WINDOW = 10
+    cfg.OPTIMIZATION_WINDOW = 10
+    # ACTIVE: moving frames ~1.7 px center flow at the feature scale,
+    # dwell frames ~0.35 px -> dwell keyframes get removed
+    cfg.KEYFRAME_THRESH = 0.8
+    cfg.MIXED_PRECISION = False
+
+    gt_poses = make_gt_poses_dwell(N_FRAMES)
+    oracle = make_oracle(gt_poses)
+    intr = np.array([80.0, 80.0, W / 2, H / 2], np.float32)
+
+    slam = DeviceVO(cfg, None, ht=H, wd=W, seed=3)
+    slam._oracle = oracle
+    slam._static['force_accept'] = True
+
+    rng = np.random.RandomState(1)
+    for t in range(N_FRAMES):
+        img = rng.randint(0, 255, (H, W, 3), np.uint8)
+        slam.rng = _ConstDepthRng(np.random.RandomState(1000 + t))
+        slam(t, img, intr)
+
+    n_keyframes = int(fetch(slam.st.n))
+    poses, tstamps = slam.terminate()
+
+    # the dwell must have triggered real removals, else this test is vacuous
+    removed = N_FRAMES - n_keyframes
+    assert removed >= 3, f'keyframe removal never fired (removed={removed})'
+    assert poses.shape[0] == N_FRAMES      # fill-in covers removed frames
+
+    gt_wfc = np.asarray(lie.se3_inv(jnp.asarray(gt_poses)))
+    est = poses_to_trajectory(poses, tstamps)
+    gt = poses_to_trajectory(gt_wfc, np.arange(N_FRAMES))
+    err = ate_rmse(est, gt, correct_scale=True)
+    path_len = np.linalg.norm(np.diff(gt_wfc[:, :3], axis=0), axis=1).sum()
+    assert np.isfinite(err)
+    assert err < 0.01 * path_len, f'ATE {err:.4f} vs path {path_len:.3f}'
