@@ -143,8 +143,16 @@ def bundle_adjust_pairs(poses, centers, depth, intr, target, weight, lmbda,
         Bjj = JtWJ(Jj, Jj)
 
         def seg(vals, ids, valid, num):
+            """Segment-sum via one-hot MXU matmul: TPU scatter-adds lower
+            to serial per-item loops, while a (num+1, GP) x (GP, K) dot is
+            microseconds (same reasoning as gather_rows above; num <= W*PCF
+            = 260 here so the one-hot is tiny). Exact: f32 HIGHEST."""
             ids = jnp.where(valid, ids, num)
-            return jax.ops.segment_sum(vals, ids, num_segments=num + 1)[:num]
+            oh = (ids[None, :] == jnp.arange(num + 1, dtype=ids.dtype)
+                  [:, None]).astype(jnp.float32)
+            flat = vals.reshape(ids.shape[0], -1).astype(jnp.float32)
+            out = jnp.matmul(oh, flat, precision=_HIGHEST)[:num]
+            return out.reshape((num,) + vals.shape[1:])
 
         B = seg(Bii, wi * W + wi, vi, W * W)
         B += seg(Bij, wi * W + wj, vi & vj, W * W)

@@ -33,8 +33,16 @@ class CfgNode(dict):
             self[k] = _coerce(self.get(k), v)
 
     def merge_from_list(self, opts):
-        assert len(opts) % 2 == 0, 'opts must be KEY VALUE pairs'
-        for k, v in zip(opts[::2], opts[1::2]):
+        """KEY VALUE pairs (yacs style); KEY=VALUE tokens also accepted —
+        the runtimes' buffer-overflow hints print that form."""
+        flat = []
+        for tok in opts:
+            if isinstance(tok, str) and '=' in tok:
+                flat.extend(tok.split('=', 1))
+            else:
+                flat.append(tok)
+        assert len(flat) % 2 == 0, 'opts must be KEY VALUE pairs'
+        for k, v in zip(flat[::2], flat[1::2]):
             self[k] = _coerce(self.get(k), v)
 
     def __str__(self):

@@ -30,6 +30,23 @@ from .state import (REMAP_CAP, edge_bucket, frame_step, gather_rows,
                     patchify_step, probe_median_delta, shift_frames,
                     store_frame, update_step)
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=('M',), donate_argnums=(0, 1))
+def _normalize_dev(poses, depth, s, n, *, M):
+    """Device-side gauge normalization (reference patchgraph.py:84-95):
+    depth[:n*M] /= s, translations[:n] *= s, rebase rows [:n] to pose 0 —
+    one dispatch instead of a full-mirror D2H + host math + two H2D."""
+    rowp = jnp.arange(poses.shape[0]) < n
+    rowd = jnp.arange(depth.shape[0]) < n * M
+    depth = jnp.where(rowd, depth / s, depth)
+    scaled = jnp.concatenate([poses[:, :3] * s, poses[:, 3:]], axis=1)
+    base = lie.se3_inv(scaled[0])
+    reb = lie.se3_mul(scaled, jnp.broadcast_to(base, scaled.shape))
+    poses = jnp.where(rowp[:, None], reb, poses)
+    return poses, depth
+
 
 class DPVO:
 
@@ -117,6 +134,7 @@ class DPVO:
         # optional test seam: (poses, patch_xy, depth, intr, ii, jj, kk) ->
         # (target, weight), replacing the learned corr+update path
         self._oracle = None
+        self._n_loop_edges = 0   # proximity edges proposed so far
 
         self.n = 0           # frame count
         self.m = 0           # patch count
@@ -313,10 +331,13 @@ class DPVO:
         if m.sum() == 0:
             return
         if store and self.cfg.LOOP_CLOSURE:
-            # fetch freshest target/weight rows for the retired edges
+            # fetch freshest target/weight rows for the retired edges —
+            # packed into ONE D2H (each blocking fetch pays a full tunnel
+            # roundtrip, ~30-50 ms; device-side concat is ~2 ms dispatch)
             self._flush_pending()
-            tw = fetch(self.target_dev)[:len(self.ii)][m]
-            ww = fetch(self.weight_dev)[:len(self.ii)][m]
+            targ_all, wgt_all = self._fetch_target_weight()
+            tw = targ_all[:len(self.ii)][m]
+            ww = wgt_all[:len(self.ii)][m]
             self.ii_inac = np.concatenate([self.ii_inac, self.ii[m]])
             self.jj_inac = np.concatenate([self.jj_inac, self.jj[m]])
             self.kk_inac = np.concatenate([self.kk_inac, self.kk[m]])
@@ -420,8 +441,8 @@ class DPVO:
         if use_global:
             self._run_global_ba()
             # global BA touches all patches; refresh the whole mirror
-            self.depth_np = fetch_copy(self.depth_dev)
-            self.poses_np = fetch_copy(self.poses_dev)
+            # (ONE packed D2H)
+            self._refresh_pose_depth_mirrors()
             return
 
         # refresh host mirrors (one small D2H per frame)
@@ -429,6 +450,22 @@ class DPVO:
         dwin = fetch(jax.lax.dynamic_slice(
             self.depth_dev, (patch_base,), (self.PC_CAP,)))
         self.depth_np[patch_base:patch_base + self.PC_CAP] = dwin
+
+    def _fetch_target_weight(self):
+        """target+weight as one packed D2H; returns (target, weight) np."""
+        ecap = self.target_dev.shape[0]
+        tw = fetch(jnp.concatenate([self.target_dev.ravel(),
+                                    self.weight_dev.ravel()]))
+        return (tw[:ecap * 2].reshape(ecap, 2),
+                tw[ecap * 2:].reshape(ecap, 2))
+
+    def _refresh_pose_depth_mirrors(self):
+        """depth+poses mirrors from one packed D2H instead of two."""
+        nd = self.depth_dev.shape[0]
+        pd = fetch(jnp.concatenate([self.depth_dev,
+                                    self.poses_dev.ravel()]))
+        self.depth_np = pd[:nd].copy()
+        self.poses_np = pd[nd:].reshape(-1, 7).copy()
 
     def _run_global_ba(self):
         """Global bundle adjustment over active + inactive edges
@@ -438,8 +475,9 @@ class DPVO:
         self.normalize()
 
         E = len(self.ii)
-        targ = fetch(self.target_dev)[:E]
-        wgt = fetch(self.weight_dev)[:E]
+        targ_all, wgt_all = self._fetch_target_weight()
+        targ = targ_all[:E]
+        wgt = wgt_all[:E]
         full_ii = np.concatenate([self.ii_inac, self.ii])
         full_jj = np.concatenate([self.jj_inac, self.jj])
         full_kk = np.concatenate([self.kk_inac, self.kk])
@@ -456,25 +494,23 @@ class DPVO:
     def normalize(self):
         """Scale/gauge normalization before global BA
         (reference patchgraph.py:84-95): mean inverse depth -> 1, rebase to
-        pose 0."""
+        pose 0.
+
+        Scaling/rebase run ON DEVICE; the host only fetches the scalar
+        scale (for the removed-frame delta dict). The stale host mirrors
+        are refreshed by the packed post-global-BA fetch that always
+        follows (_refresh_pose_depth_mirrors)."""
         n, M = self.n, self.M
-        d = fetch(self.depth_dev)[:n * M]
-        s = float(d.mean())
+        s = float(fetch(jnp.mean(self.depth_dev[:n * M])))
         if not np.isfinite(s) or s <= 0:
             return
-        self.depth_np[:n * M] = d / s
-        self.poses_np[:n, :3] *= s
-        self.poses_np[:n] = nse3.mul(self.poses_np[:n],
-                                     nse3.inv(self.poses_np[0]))
+        self.poses_dev, self.depth_dev = _normalize_dev(
+            self.poses_dev, self.depth_dev, jnp.float32(s),
+            jnp.int32(n), M=M)
         for t, (t0, dP) in self.delta.items():
             dPs = dP.copy()
             dPs[:3] *= s
             self.delta[t] = (t0, dPs)
-        # push back to device
-        self.depth_dev = self.depth_dev.at[:n * M].set(
-            jnp.asarray(self.depth_np[:n * M]))
-        self.poses_dev = self.poses_dev.at[:n].set(
-            jnp.asarray(self.poses_np[:n]))
 
     def update(self):
         self._drain()
@@ -662,8 +698,7 @@ class DPVO:
             # global BA syncs anyway: finish this frame's post-step inline
             self._apply_mirror(mirror, ns, t0, pb, aw)
             self._run_global_ba()
-            self.depth_np = fetch_copy(self.depth_dev)
-            self.poses_np = fetch_copy(self.poses_dev)
+            self._refresh_pose_depth_mirrors()
             self.keyframe()
             if self.viewer is not None and self.n % 3 == 0:
                 self._push_viewer_state()
@@ -790,7 +825,9 @@ class DPVO:
 
     def edges_loop(self):
         from ..loop_closure.proximity import proximity_edges
-        return proximity_edges(self)
+        kk, jj = proximity_edges(self)
+        self._n_loop_edges += len(kk)      # diagnostics / tests
+        return kk, jj
 
     # ------------------------------------------------------------------ #
     # termination (reference dpvo.py:173-198)
