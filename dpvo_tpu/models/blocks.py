@@ -39,10 +39,34 @@ def mlp2(params, name0, name2, x):
     return linear(params, name2, jax.nn.relu(linear(params, name0, x)))
 
 
+def linear2(params, name_a, name_b, x):
+    """Two linears over the SAME input as one wider GEMM.
+
+    Numerically identical to two separate matmuls (output columns are
+    independent; the K-dim accumulation order is unchanged) but reads the
+    (E, D) activation once instead of twice — the update operator is
+    memory-bound between GEMMs. Returns (out_a, out_b)."""
+    wa = params[name_a + '.weight']
+    wb = params[name_b + '.weight']
+    w = jnp.concatenate([wa, wb], axis=1).astype(x.dtype)
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    out = jnp.matmul(x, w, precision=prec)
+    da = wa.shape[1]
+    oa, ob = out[..., :da], out[..., da:]
+    ba = params.get(name_a + '.bias')
+    bb = params.get(name_b + '.bias')
+    if ba is not None:
+        oa = oa + ba.astype(x.dtype)
+    if bb is not None:
+        ob = ob + bb.astype(x.dtype)
+    return oa, ob
+
+
 def gated_residual(params, prefix, x):
     """x + sigmoid(gate(x)) * res(x)  (dpvo/blocks.py:15-29)."""
-    gate = jax.nn.sigmoid(linear(params, prefix + '.gate.0', x))
-    res = mlp2(params, prefix + '.res.0', prefix + '.res.2', x)
+    g0, r0 = linear2(params, prefix + '.gate.0', prefix + '.res.0', x)
+    gate = jax.nn.sigmoid(g0)
+    res = linear(params, prefix + '.res.2', jax.nn.relu(r0))
     return x + gate * res
 
 
@@ -54,8 +78,8 @@ def soft_agg(params, prefix, x, ids, num_segments, mask=None):
     relabeling of the original group keys (computed host-side, replacing the
     device-side torch.unique).
     """
-    fx = linear(params, prefix + '.f', x)
-    gx = linear(params, prefix + '.g', x).astype(jnp.float32)
+    fx, gx = linear2(params, prefix + '.f', prefix + '.g', x)
+    gx = gx.astype(jnp.float32)
     w = segment_softmax(gx, ids, num_segments, mask=mask)
     y = segment_sum(fx.astype(jnp.float32) * w, ids, num_segments)
     hy = linear(params, prefix + '.h', y.astype(x.dtype))
@@ -71,9 +95,9 @@ def soft_agg_ij_pairs(params, prefix, x3, mask3):
     (same math as soft_agg with ids=repeat(arange(GP), M))."""
     GP, M, D = x3.shape
     flat = x3.reshape(GP * M, D)
-    fx = linear(params, prefix + '.f', flat).reshape(GP, M, D)
-    gx = linear(params, prefix + '.g', flat).astype(jnp.float32)
-    gx = gx.reshape(GP, M, D)
+    fx, gx = linear2(params, prefix + '.f', prefix + '.g', flat)
+    fx = fx.reshape(GP, M, D)
+    gx = gx.astype(jnp.float32).reshape(GP, M, D)
     neg = jnp.float32(-1e30)
     gxm = jnp.where(mask3[..., None], gx, neg)
     w = jax.nn.softmax(gxm, axis=1)
@@ -95,9 +119,9 @@ def soft_agg_kk_pairs(params, prefix, x3, psl, mask3, num_slots):
     num_slots: static slot count (pmem)."""
     GP, M, D = x3.shape
     flat = x3.reshape(GP * M, D)
-    fx = linear(params, prefix + '.f', flat).reshape(GP, M, D)
-    gx = linear(params, prefix + '.g', flat).astype(jnp.float32)
-    gx = gx.reshape(GP, M, D)
+    fx, gx = linear2(params, prefix + '.f', prefix + '.g', flat)
+    fx = fx.reshape(GP, M, D)
+    gx = gx.astype(jnp.float32).reshape(GP, M, D)
     neg = jnp.float32(-1e30)
     gxm = jnp.where(mask3[..., None], gx, neg)
 

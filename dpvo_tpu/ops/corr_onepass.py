@@ -146,8 +146,8 @@ def _onepass_kernel(nv_ref, pa_ref, pb_ref,
     @pl.when(blk == 0)
     def _():
         cur_ref[0] = -1
-        pl1[...] = jnp.zeros_like(pl1)
-        pl2[...] = jnp.zeros_like(pl2)
+        pl1[...] = jnp.zeros(pl1.shape, pl1.dtype)
+        pl2[...] = jnp.zeros(pl2.shape, pl2.dtype)
 
     def body(e, _):
         gidx = blk * EB + e
@@ -189,13 +189,15 @@ def _onepass_kernel(nv_ref, pa_ref, pb_ref,
     R = EB * P2
     vrow = (blk * EB + jax.lax.broadcasted_iota(jnp.int32, (EB, P2), 0)
             ).reshape(R) < nv
+    fr1 = fr1_ref[...]
+    fr2 = fr2_ref[...]
     out1_ref[...] = _select_block(
         pl1[...].reshape(R, WY, WX), s1_ref[...].reshape(R),
-        fr1_ref[..., 0].reshape(R), fr1_ref[..., 1].reshape(R), vrow,
+        fr1[..., 0].reshape(R), fr1[..., 1].reshape(R), vrow,
         H=H1, W=W1, Wy=WY, Wx=WX, radius=radius).reshape(EB, P2, -1)
     out2_ref[...] = _select_block(
         pl2[...].reshape(R, WY2, WX2), s2_ref[...].reshape(R),
-        fr2_ref[..., 0].reshape(R), fr2_ref[..., 1].reshape(R), vrow,
+        fr2[..., 0].reshape(R), fr2[..., 1].reshape(R), vrow,
         H=H2, W=W2, Wy=WY2, Wx=WX2, radius=radius).reshape(EB, P2, -1)
 
 

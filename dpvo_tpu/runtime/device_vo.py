@@ -187,7 +187,14 @@ def _slot_of(fslot, idx):
 
 def _pair_neighbors(pi, pj, pvalid, GP):
     """Per-pair previous/next pair with the same source frame, ordered by
-    target frame (replaces fastba.neighbors, ba.cpp:59-97)."""
+    target frame (replaces fastba.neighbors, ba.cpp:59-97).
+
+    COST: O(GP^2) via two (GP, GP) masks, twice per tracked frame. At the
+    default cap (GP = 512, _gp_cap) that is 0.26M-entry elementwise work —
+    noise next to the corr kernel. GP grows ~linearly with PATCH_LIFETIME
+    and REMOVAL_WINDOW, so extreme overrides (say both 4x, GP ~ 2048) pay
+    16x here; if profiles ever show this hot, sort pairs by (pi, pj) and
+    take adjacent-run neighbors in O(GP log GP) instead."""
     same_i = (pi[:, None] == pi[None, :]) & pvalid[:, None] & pvalid[None, :]
     dj = pj[None, :] - pj[:, None]          # [g, g2]
     before = same_i & (dj < 0)
