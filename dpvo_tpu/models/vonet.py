@@ -48,6 +48,41 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def corr_native_perm(d=7):
+    """j_ref -> j_native for the one-pass corr kernel's native layout.
+
+    Reference corr_feat order (runtime corr_two_level):
+    stack([c1, c2], -1).reshape(E, -1) over c* = (E, dx, dy, py, px).
+    Native order (ops/corr_onepass.py layout='native'):
+    concat([c1n.reshape(E,-1), c2n.reshape(E,-1)], -1) over
+    c*n = (E, py*P+px, dy*d+dx).  Returns (CORR_IN,) int array such that
+    x_ref[j] == x_native[perm[j]] for every edge."""
+    lvls = []
+    for lvl in range(2):
+        nat = np.arange(P * P * d * d).reshape(P, P, d, d) + lvl * P * P * d * d
+        lvls.append(nat.transpose(3, 2, 0, 1))       # (dx, dy, py, px)
+    return np.stack(lvls, -1).reshape(-1)
+
+
+def permute_params_for_native_corr(params):
+    """Absorb the native corr channel order into update.corr.0's weight rows.
+
+    x_native @ W_native == x_ref @ W_ref exactly (a row permutation commutes
+    with the contraction), so runtimes feeding native-layout corr features
+    skip the two ~6 ms full-output relayout transposes per frame."""
+    perm = corr_native_perm()
+
+    def fix(d):
+        w = np.array(d['update.corr.0.weight'])
+        wn = np.empty_like(w)
+        wn[perm] = w
+        out = dict(d)
+        out['update.corr.0.weight'] = jnp.asarray(wn)
+        return out
+
+    return VONetParams(f32=fix(params.f32), bf16=fix(params.bf16))
+
+
 # ---------------------------------------------------------------------------
 # Patchifier (reference net.py:95-157)
 # ---------------------------------------------------------------------------

@@ -14,15 +14,31 @@ kernel (ops/corr_select.py), paying for it three ways measured on v5e:
 
 This kernel keeps each block's fp32 planes in VMEM scratch, runs the
 tap-select epilogue on them in-register, and writes only the final
-(E, 9, 49) taps per level.  Per-edge work is gated on a scalar-prefetched
-valid-edge count `nv` (valid pairs are a prefix after _compact_pairs,
-runtime/device_vo.py) — invalid edges cost one scalar compare.  Outputs for
-edges >= nv are exact zeros.
+(E, 9, 49) taps per level.
+
+LAYOUT RULE (current Mosaic): in-kernel reshapes must PRESERVE the lane
+(last) dimension — collapsing/splitting leading dims is fine, anything
+that moves data across lanes ("(32,9)->(288,)", "(R,288)->(R,12,24)") is
+rejected with "infer-vector-layout: unsupported shape cast".  The whole
+epilogue therefore runs on FLAT (R, Wy*Wx) planes:
+
+  * a window-row shift `s` is the contiguous lane slice [s*Wx, s*Wx+d*Wx);
+  * the column pass shifts the flat row-pass result by `s` lanes (group
+    crossings land on tap columns k >= d, which are discarded);
+  * the final (d*Wx) -> (d*d) tap compaction is one small constant
+    matmul on the MXU (scatter-free, layout-free).
+
+Work is gated on a scalar-prefetched valid-edge prefix count `nv` (valid
+pairs are a prefix after _compact_pairs, runtime/device_vo.py): blocks
+wholly past `nv` skip the dots AND the epilogue (they only zero their
+output tiles), so cost scales with the live edge count, not the capacity.
 
 Window geometry, padding, clamping, and masking semantics are identical to
 ops/corr_fused.py (shared helpers); math parity with the exact XLA path
 (ops/corr.py) is held by tests/test_corr_onepass.py including borders and
-spread overflow.
+spread overflow.  Unlike the round-2 revision, `ox` is packed with 5 bits:
+the L1 window legitimately reaches ox = 16 (8-alignment slack 7 + spread),
+which a 4-bit clamp aliased onto shift 15.
 """
 from __future__ import annotations
 
@@ -39,166 +55,220 @@ from .corr_fused import (WY, WX, WY2, WX2, TY, TX, D_MIN,
 
 EB = 32          # edges per grid step
 
-_AVAILABLE = None
+_AVAILABLE = {}      # keyed by feature-map dims: viability is shape-dependent
 
 
-def kernel_available():
-    """One-time pre-flight on tiny shapes; degrade to corr_fused on failure."""
-    global _AVAILABLE
-    if _AVAILABLE is None:
-        try:
-            rng = np.random.RandomState(0)
-            E, H1, W1, F = EB, 64, 96, 2
-            gmap = jnp.asarray(rng.randn(F * 4, 3, 3, 128), jnp.bfloat16)
-            f1 = jnp.asarray(rng.randn(F, H1, W1, 128), jnp.bfloat16)
-            f2 = jnp.asarray(rng.randn(F, H1 // 4, W1 // 4, 128),
-                             jnp.bfloat16)
-            coords = jnp.asarray(
-                8.0 + rng.rand(E, 3, 3, 2) * 40.0, jnp.float32)
-            kk = jnp.zeros((E,), jnp.int32)
-            jj = jnp.zeros((E,), jnp.int32)
-            c1, _ = corr_onepass(gmap, f1, f2, coords, kk, jj)
-            _AVAILABLE = bool(np.isfinite(np.asarray(c1[0, 0, 0])).all())
-        except Exception as e:                      # compile/execute failure
-            import sys
-            print(f'corr_onepass kernel unavailable, using corr_fused: '
-                  f'{type(e).__name__}: {str(e)[:200]}', file=sys.stderr)
-            _AVAILABLE = False
-    return _AVAILABLE
+def kernel_available(H1=120, W1=160):
+    """One-time pre-flight; degrade to corr_fused on failure.
+
+    Runs at the CALLER's feature-map resolution (default = the 640x480
+    flagship config) with F=2 frames: scoped-VMEM viability depends on the
+    padded slab dims, not the frame count, and the round-3 tiny-shape
+    preflight green-lit a kernel that OOMed scoped vmem at 640x480 mid-
+    bench.  Retries transient remote-compile failures (the axon compile
+    helper can 500 sporadically; round 3 nearly lost its fast path to a
+    single flake) before declaring the kernel unavailable."""
+    key = (int(H1), int(W1))
+    if key not in _AVAILABLE:
+        import time
+        last = None
+        for attempt in range(3):
+            try:
+                rng = np.random.RandomState(0)
+                E, F = EB, 2
+                gmap = jnp.asarray(rng.randn(F * 4, 3, 3, 128), jnp.bfloat16)
+                f1 = jnp.asarray(rng.randn(F, H1, W1, 128), jnp.bfloat16)
+                f2 = jnp.asarray(rng.randn(F, H1 // 4, W1 // 4, 128),
+                                 jnp.bfloat16)
+                coords = jnp.asarray(
+                    8.0 + rng.rand(E, 3, 3, 2) * 40.0, jnp.float32)
+                kk = jnp.zeros((E,), jnp.int32)
+                jj = jnp.zeros((E,), jnp.int32)
+                c1, _ = corr_onepass(gmap, f1, f2, coords, kk, jj)
+                _AVAILABLE[key] = bool(
+                    np.isfinite(np.asarray(c1[0, 0, 0])).all())
+                return _AVAILABLE[key]
+            except Exception as e:                  # compile/execute failure
+                last = e
+                time.sleep(2.0 * (attempt + 1))
+        import sys
+        print(f'corr_onepass kernel unavailable, using corr_fused: '
+              f'{type(last).__name__}: {str(last)[:200]}', file=sys.stderr)
+        _AVAILABLE[key] = False
+    return _AVAILABLE[key]
 
 
 def _pack_sel(yi, xi, oy, ox):
     """Per-pixel select scalars packed into one int32 stream.
 
-    Layout: ox 4b | oy 3b | xi+8 10b | yi+8 10b.  oy/ox are clamped INTO
-    the never-matching shift range (7 / 15 > Wy-8 / Wx-8) so patches whose
-    projected spread overflows the window budget keep producing exact zeros
-    (same semantics as corr_fused._select_taps)."""
-    return (jnp.minimum(ox, 15) | (jnp.minimum(oy, 7) << 4)
-            | ((xi + 8) << 7) | ((yi + 8) << 17)).astype(jnp.int32)
+    Layout: ox 5b | oy 3b | xi+8 10b | yi+8 10b.  oy/ox are clamped INTO
+    never-matching shift ranges (7 > Wy-8; 31 > Wx-8 for every level) so
+    patches whose projected spread overflows the window budget keep
+    producing exact zeros (same semantics as the XLA _select_taps)."""
+    return (jnp.minimum(ox, 31) | (jnp.minimum(oy, 7) << 5)
+            | ((xi + 8) << 8) | ((yi + 8) << 18)).astype(jnp.int32)
 
 
-def _select_block(plane, sel, fy, fx, vrow, *, H, W, Wy, Wx, radius):
-    """Bilinear tap-select over one block of fp32 planes (VPU epilogue).
+def _select_flat(plane, sel, fy, fx, vrow, *, H, W, Wy, Wx, radius):
+    """Bilinear tap-select over one block of FLAT fp32 planes (VPU epilogue).
 
-    plane (R, Wy, Wx) f32; sel (R,) packed ints; fy/fx (R,) f32;
-    vrow (R,) bool row validity.  Returns (R, d*d) f32, zeros where ~vrow.
-    Same masked-static-shift math as ops/corr_select.py:_sel_kernel.
+    plane (R, Wy*Wx) f32 — window row i at lanes [i*Wx, (i+1)*Wx);
+    sel (R, 1) packed ints; fy/fx (R, 1) f32; vrow (R, 1) f32 validity.
+    Returns (R, d*Wx) f32 where the tap at (i, k) lives at lane i*Wx + k
+    (lanes k >= d are junk, discarded by the compaction matmul); rows with
+    vrow == 0 are exact zeros.  Lane-dim-preserving throughout.
     """
     R = plane.shape[0]
     D = 2 * radius + 2
     d = 2 * radius + 1
+    FW = d * Wx
 
-    sel = sel.reshape(R, 1, 1)
-    ox = sel & 0xF
-    oy = (sel >> 4) & 0x7
-    xi = ((sel >> 7) & 0x3FF) - 8
-    yi = ((sel >> 17) & 0x3FF) - 8
-    fy = fy.reshape(R, 1, 1)
-    fx = fx.reshape(R, 1, 1)
-    vm = vrow.reshape(R, 1, 1).astype(jnp.float32)
+    ox = sel & 0x1F
+    oy = (sel >> 5) & 0x7
+    xi = ((sel >> 8) & 0x3FF) - 8
+    yi = ((sel >> 18) & 0x3FF) - 8
 
-    ir = jax.lax.broadcasted_iota(jnp.int32, (R, d, 1), 1)
+    # row pass: t1 lane i*Wx + x  =  ay_i * plane[oy+i, x] + by_i * [oy+i+1]
+    ir = jax.lax.broadcasted_iota(jnp.int32, (R, FW), 1) // Wx
     ty = yi - radius + ir
     ay = (1.0 - fy) * ((ty >= 0) & (ty < H)).astype(jnp.float32)
     by = fy * ((ty + 1 >= 0) & (ty + 1 < H)).astype(jnp.float32)
 
-    t1 = jnp.zeros((R, d, Wx), jnp.float32)
+    t1 = jnp.zeros((R, FW), jnp.float32)
     for s in range(0, Wy - D + 1):
         m = (oy == s).astype(jnp.float32)
-        lo = jax.lax.slice_in_dim(plane, s, s + d, axis=1)
-        hi = jax.lax.slice_in_dim(plane, s + 1, s + 1 + d, axis=1)
+        lo = jax.lax.slice_in_dim(plane, s * Wx, s * Wx + FW, axis=1)
+        hi = jax.lax.slice_in_dim(plane, (s + 1) * Wx, (s + 1) * Wx + FW,
+                                  axis=1)
         t1 = t1 + m * (ay * lo + by * hi)
+    # one junk group of padding so shifted slices stay in bounds
+    t1 = jnp.concatenate([t1, jnp.zeros((R, Wx), jnp.float32)], axis=1)
 
-    jr = jax.lax.broadcasted_iota(jnp.int32, (R, 1, d), 2)
+    # column pass: out lane i*Wx + k = ax_k * t1[i*Wx+k+s] + bx_k * [.. +s+1]
+    # (k + s <= Wx - 2 for real taps k < d, so shifts never cross groups)
+    jr = jax.lax.broadcasted_iota(jnp.int32, (R, FW), 1) % Wx
     tx = xi - radius + jr
     ax = (1.0 - fx) * ((tx >= 0) & (tx < W)).astype(jnp.float32)
     bx = fx * ((tx + 1 >= 0) & (tx + 1 < W)).astype(jnp.float32)
-    ax = ax * vm          # fold row-validity into one coefficient
-    bx = bx * vm
+    ax = ax * vrow          # fold row-validity into one coefficient
+    bx = bx * vrow
 
-    out = jnp.zeros((R, d, d), jnp.float32)
+    out = jnp.zeros((R, FW), jnp.float32)
     for s in range(0, Wx - D + 1):
         m = (ox == s).astype(jnp.float32)
-        lo = jax.lax.slice_in_dim(t1, s, s + d, axis=2)
-        hi = jax.lax.slice_in_dim(t1, s + 1, s + 1 + d, axis=2)
+        lo = jax.lax.slice_in_dim(t1, s, s + FW, axis=1)
+        hi = jax.lax.slice_in_dim(t1, s + 1, s + 1 + FW, axis=1)
         out = out + m * (ax * lo + bx * hi)
-    return out.reshape(R, d * d)
+    return out
+
+
+def _compact_matrix(Wx, radius):
+    """(d*Wx, d*d) 0/1 selection: flat lane i*Wx + k -> tap i*d + k."""
+    d = 2 * radius + 1
+    S = np.zeros((d * Wx, d * d), np.float32)
+    for i in range(d):
+        for k in range(d):
+            S[i * Wx + k, i * d + k] = 1.0
+    return jnp.asarray(S)
 
 
 def _onepass_kernel(nv_ref, pa_ref, pb_ref,
                     g_ref, s1_ref, fr1_ref, s2_ref, fr2_ref,
-                    f1_hbm, f2_hbm,
+                    S1_ref, S2_ref, f1_hbm, f2_hbm,
                     out1_ref, out2_ref,
                     pl1, pl2, f1_vmem, f2_vmem, cur_ref, sem_ref,
-                    *, H1, W1, H2, W2, radius):
-    """Per grid step: EB edges' plane dots into fp32 VMEM scratch, then the
-    tap-select epilogue for the whole block.  Slabs re-DMA only on target
-    slot change (edges grouped by target); per-edge work is skipped for
-    edges >= nv (their outputs are masked to exact zeros in the epilogue;
-    scratch is zeroed once at block 0 so a short first block never reads
-    uninitialized VMEM)."""
+                    *, H1, W1, H2, W2, radius, gated=True):
+    """Per grid step: EB edges' plane dots into flat fp32 VMEM scratch, then
+    the tap-select epilogue + compaction matmul for the whole block.  Slabs
+    re-DMA only on target slot change (edges grouped by target).  With
+    gated=True, blocks wholly past `nv` only zero their output tiles."""
     blk = pl.program_id(0)
     nv = nv_ref[0]
     P2 = g_ref.shape[1]
     C = g_ref.shape[2]
+    R = EB * P2
+    d = 2 * radius + 1
 
     @pl.when(blk == 0)
     def _():
         cur_ref[0] = -1
-        pl1[...] = jnp.zeros(pl1.shape, pl1.dtype)
-        pl2[...] = jnp.zeros(pl2.shape, pl2.dtype)
 
-    def body(e, _):
-        gidx = blk * EB + e
-        pa = pa_ref[gidx]
-        pb = pb_ref[gidx]
-        js = pa & 0xFF
+    active = blk * EB < nv
 
-        @pl.when((gidx < nv) & (js != cur_ref[0]))
-        def _():
-            cp1 = pltpu.make_async_copy(f1_hbm.at[js], f1_vmem, sem_ref.at[0])
-            cp2 = pltpu.make_async_copy(f2_hbm.at[js], f2_vmem, sem_ref.at[1])
-            cp1.start()
-            cp2.start()
-            cp1.wait()
-            cp2.wait()
-            cur_ref[0] = js
+    def _run_block():
+        # NO per-edge validity predication inside the loop: a per-edge
+        # pl.when around the dot defeats Mosaic's software pipelining
+        # (measured 730 ns/edge vs the 250 ns floor).  Edges past nv within
+        # the boundary block compute garbage planes — harmless, the
+        # epilogue's vrow mask zeroes those rows (slot words are clamped
+        # into range upstream, so the slab DMA index is always valid).
+        def body(e, _):
+            gidx = blk * EB + e
+            pa = pa_ref[gidx]
+            pb = pb_ref[gidx]
+            js = pa & 0xFF
 
-        @pl.when(gidx < nv)
-        def _():
+            @pl.when(js != cur_ref[0])
+            def _():
+                cp1 = pltpu.make_async_copy(f1_hbm.at[js], f1_vmem,
+                                            sem_ref.at[0])
+                cp2 = pltpu.make_async_copy(f2_hbm.at[js], f2_vmem,
+                                            sem_ref.at[1])
+                cp1.start()
+                cp2.start()
+                cp1.wait()
+                cp2.wait()
+                cur_ref[0] = js
+
             g = g_ref[e]                                    # (P2, C)
             w1 = f1_vmem[pl.ds((pa >> 8) & 0x3FF, WY),
                          pl.ds(pl.multiple_of(((pa >> 18) & 0xFF) * 8, 8),
                                WX), :]
-            pl1[e] = jax.lax.dot_general(
-                g, w1.reshape(WY * WX, C), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
             w2 = f2_vmem[(pb >> 18) & 1,
                          pl.ds(pb & 0x3FF, WY2),
                          pl.ds(pl.multiple_of(((pb >> 10) & 0xFF) * 8, 8),
                                WX2), :]
-            pl2[e] = jax.lax.dot_general(
-                g, w2.reshape(WY2 * WX2, C), (((1,), (1,)), ((), ())),
+            # ONE merged dot per edge (both levels): per-edge MXU issue
+            # overhead dominates at 9 rows, so splitting the levels into
+            # two dots doubles the ~250 ns/edge floor (v5e, EB sweep).
+            w12 = jnp.concatenate(
+                [w1.reshape(WY * WX, C), w2.reshape(WY2 * WX2, C)],
+                axis=0)
+            p12 = jax.lax.dot_general(
+                g, w12, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        return 0
+            pl1[e] = p12[:, :WY * WX].astype(pl1.dtype)
+            pl2[e] = p12[:, WY * WX:].astype(pl2.dtype)
+            return 0
 
-    jax.lax.fori_loop(0, EB, body, 0)
+        jax.lax.fori_loop(0, EB, body, 0)
 
-    # ---- tap-select epilogue: whole block, vectorized on the VPU ---- #
-    R = EB * P2
-    vrow = (blk * EB + jax.lax.broadcasted_iota(jnp.int32, (EB, P2), 0)
-            ).reshape(R) < nv
-    fr1 = fr1_ref[...]
-    fr2 = fr2_ref[...]
-    out1_ref[...] = _select_block(
-        pl1[...].reshape(R, WY, WX), s1_ref[...].reshape(R),
-        fr1[..., 0].reshape(R), fr1[..., 1].reshape(R), vrow,
-        H=H1, W=W1, Wy=WY, Wx=WX, radius=radius).reshape(EB, P2, -1)
-    out2_ref[...] = _select_block(
-        pl2[...].reshape(R, WY2, WX2), s2_ref[...].reshape(R),
-        fr2[..., 0].reshape(R), fr2[..., 1].reshape(R), vrow,
-        H=H2, W=W2, Wy=WY2, Wx=WX2, radius=radius).reshape(EB, P2, -1)
+        # ---- tap-select epilogue: whole block, flat VPU + MXU compact ----
+        vrow = ((blk * EB
+                 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) // P2)
+                < nv).astype(jnp.float32)
+        w1 = _select_flat(pl1[...].reshape(R, WY * WX), s1_ref[...],
+                          fr1_ref[:, 0:1], fr1_ref[:, 1:2], vrow,
+                          H=H1, W=W1, Wy=WY, Wx=WX, radius=radius)
+        out1_ref[...] = jax.lax.dot_general(
+            w1, S1_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        w2 = _select_flat(pl2[...].reshape(R, WY2 * WX2), s2_ref[...],
+                          fr2_ref[:, 0:1], fr2_ref[:, 1:2], vrow,
+                          H=H2, W=W2, Wy=WY2, Wx=WX2, radius=radius)
+        out2_ref[...] = jax.lax.dot_general(
+            w2, S2_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def _zero_block():
+        out1_ref[...] = jnp.zeros((R, d * d), jnp.float32)
+        out2_ref[...] = jnp.zeros((R, d * d), jnp.float32)
+
+    if gated:
+        pl.when(active)(_run_block)
+        pl.when(jnp.logical_not(active))(_zero_block)
+    else:
+        _run_block()
 
 
 @partial(jax.jit, static_argnames=('H1', 'W1', 'H2', 'W2', 'radius',
@@ -207,21 +277,24 @@ def _onepass_call(g9, fp1, fp2, pa, pb, s1, fr1, s2, fr2, nv,
                   *, H1, W1, H2, W2, radius, interpret=False):
     E, P2, C = g9.shape
     d = 2 * radius + 1
+    R = EB * P2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(E // EB,),
         in_specs=[
             pl.BlockSpec((EB, P2, C), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((EB, P2), lambda i, *_: (i, 0)),
-            pl.BlockSpec((EB, P2, 2), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((EB, P2), lambda i, *_: (i, 0)),
-            pl.BlockSpec((EB, P2, 2), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((R, 1), lambda i, *_: (i, 0)),
+            pl.BlockSpec((R, 2), lambda i, *_: (i, 0)),
+            pl.BlockSpec((R, 1), lambda i, *_: (i, 0)),
+            pl.BlockSpec((R, 2), lambda i, *_: (i, 0)),
+            pl.BlockSpec((d * WX, d * d), lambda i, *_: (0, 0)),   # S1
+            pl.BlockSpec((d * WX2, d * d), lambda i, *_: (0, 0)),  # S2
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((EB, P2, d * d), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((EB, P2, d * d), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((R, d * d), lambda i, *_: (i, 0)),
+            pl.BlockSpec((R, d * d), lambda i, *_: (i, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((EB, P2, WY * WX), jnp.float32),
@@ -232,22 +305,39 @@ def _onepass_call(g9, fp1, fp2, pa, pb, s1, fr1, s2, fr2, nv,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    S1 = _compact_matrix(WX, radius)
+    S2 = _compact_matrix(WX2, radius)
     return pl.pallas_call(
         partial(_onepass_kernel, H1=H1, W1=W1, H2=H2, W2=W2, radius=radius),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((E, P2, d * d), jnp.float32),
-                   jax.ShapeDtypeStruct((E, P2, d * d), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((E * P2, d * d), jnp.float32),
+                   jax.ShapeDtypeStruct((E * P2, d * d), jnp.float32)],
+        # default 16 MB scoped-vmem limit OOMs at 640x480 production shape
+        # (frame slabs ~9.5 MB + the unrolled flat-epilogue temporaries =
+        # 20.8 MB measured); v5e has 128 MB VMEM, so raise the cap.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2**20),
         interpret=interpret,
     )(nv.reshape(1).astype(jnp.int32), pa.astype(jnp.int32),
-      pb.astype(jnp.int32), g9, s1, fr1, s2, fr2, fp1, fp2)
+      pb.astype(jnp.int32), g9,
+      s1.reshape(E * P2, 1), fr1.reshape(E * P2, 2),
+      s2.reshape(E * P2, 1), fr2.reshape(E * P2, 2),
+      S1, S2, fp1, fp2)
 
 
 def corr_onepass(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
-                 interpret=False, g9=None, prepadded=None, nv=None):
+                 interpret=False, g9=None, prepadded=None, nv=None,
+                 layout='reference'):
     """Drop-in replacement for ops/corr_fused.corr_fused with an optional
     valid-edge prefix count `nv` (traced int32; edges >= nv produce exact
-    zeros).  Same contract: edges grouped by jj_slot; returns (c1, c2),
-    each (E, 2R+1, 2R+1, P, P) float32 in the reference layout."""
+    zeros).  Same contract: edges grouped by jj_slot; returns (c1, c2).
+
+    layout='reference': each (E, 2R+1, 2R+1, P, P) float32 (reference
+    altcorr layout) — costs two full-output relayout transposes (~11 ms at
+    E=49k, as much as the kernel itself).
+    layout='native': each (E, P*P, (2R+1)**2) float32, the kernel's own
+    row/tap order (row = py*P+px, col = dy*(2R+1)+dx) with NO device-side
+    relayout; consumers absorb the fixed channel permutation into the
+    update.corr.0 weight rows (models/vonet.py:corr_native_perm)."""
     assert radius == 3, 'specialized for radius 3'
     E, P = coords.shape[0], coords.shape[1]
     d = 2 * radius + 1
@@ -263,9 +353,13 @@ def corr_onepass(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
             or fmap1.shape[0] > 256 or max(H1, H2) + TY + 4 >= 1024
             or (max(W1, W2) + TX + 4) // 8 >= 256):
         from .corr_fused import corr_fused
-        return corr_fused(gmap, fmap1, fmap2, coords, kk_slot, jj_slot,
-                          radius=radius, interpret=interpret, g9=g9,
-                          prepadded=prepadded)
+        c1, c2 = corr_fused(gmap, fmap1, fmap2, coords, kk_slot, jj_slot,
+                            radius=radius, interpret=interpret, g9=g9,
+                            prepadded=prepadded)
+        if layout == 'native':
+            c1 = c1.transpose(0, 3, 4, 1, 2).reshape(E, P * P, d * d)
+            c2 = c2.transpose(0, 3, 4, 1, 2).reshape(E, P * P, d * d)
+        return c1, c2
 
     if prepadded is None:
         fp1 = pad_slab(fmap1)
@@ -308,6 +402,9 @@ def corr_onepass(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
     t1, t2 = _onepass_call(g9, fp1, fp2, pa, pb, s1, fr1, s2, fr2, nv,
                            H1=H1, W1=W1, H2=H2, W2=W2, radius=radius,
                            interpret=interpret)
-    c1 = t1[:E].reshape(E, P, P, d, d).transpose(0, 4, 3, 1, 2)
-    c2 = t2[:E].reshape(E, P, P, d, d).transpose(0, 4, 3, 1, 2)
-    return c1, c2
+    if layout == 'native':
+        return (t1.reshape(Epad, P * P, d * d)[:E],
+                t2.reshape(Epad, P * P, d * d)[:E])
+    c1 = t1.reshape(Epad, P * P, d * d)[:E].reshape(E, P, P, d, d)
+    c2 = t2.reshape(Epad, P * P, d * d)[:E].reshape(E, P, P, d, d)
+    return c1.transpose(0, 4, 3, 1, 2), c2.transpose(0, 4, 3, 1, 2)

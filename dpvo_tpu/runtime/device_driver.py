@@ -17,12 +17,14 @@ from ..utils.fetch import fetch
 from .device_vo import init_state, vo_frame, _gp_cap
 
 
-def _pick_corr_impl():
+def _pick_corr_impl(ht=480, wd=640):
     """Select the correlation implementation OUTSIDE any jit trace.
 
     Pre-flighting inside a trace would concretization-fail and silently
     poison the cached availability flag; deciding here (driver init) keeps
-    the static jit arg honest. DPVO_CORR_IMPL overrides for A/B benching
+    the static jit arg honest.  Pre-flights at the caller's FEATURE-MAP
+    resolution (ht//4, wd//4): kernel viability (scoped-vmem budget) is
+    shape-dependent. DPVO_CORR_IMPL overrides for A/B benching
     ('onepass' | 'fused_k' | 'fused')."""
     import os
     forced = os.environ.get('DPVO_CORR_IMPL', '')
@@ -31,7 +33,7 @@ def _pick_corr_impl():
     if jax.default_backend() not in ('tpu', 'axon'):
         return 'fused'
     from ..ops.corr_onepass import kernel_available as _onepass_ok
-    if _onepass_ok():
+    if _onepass_ok(ht // 4, wd // 4):
         return 'onepass'
     from ..ops.corr_select import kernel_available as _select_ok
     return 'fused_k' if _select_ok() else 'fused'
@@ -64,8 +66,14 @@ class DeviceVO:
             motion_damping=float(cfg.MOTION_DAMPING),
             motion_model=cfg.MOTION_MODEL,
             mixed_precision=bool(cfg.MIXED_PRECISION),
-            corr_impl=_pick_corr_impl(),
+            corr_impl=_pick_corr_impl(ht, wd),
         )
+        if self._static['corr_impl'] == 'onepass':
+            # the one-pass kernel feeds corr features in its NATIVE channel
+            # order (no relayout transposes); fold the fixed permutation
+            # into update.corr.0's weight rows once, host-side
+            from ..models.vonet import permute_params_for_native_corr
+            self.params = permute_params_for_native_corr(self.params)
         self.st = None
         self.tlist = []
         # optional ground-truth target oracle (static callable; same contract

@@ -403,16 +403,22 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
                    prepadded=((h4, w4), (h4 // 4, w4 // 4)))
         if corr_impl == 'onepass':
             # valid pairs are a compacted prefix: edges past nv skip the
-            # MXU dots entirely and emit exact zeros
+            # MXU dots entirely and emit exact zeros.  NATIVE layout: no
+            # relayout transposes (~11 ms/frame at E=49k); the channel
+            # permutation is absorbed into update.corr.0's weight rows at
+            # driver init (models/vonet.py:permute_params_for_native_corr).
             nv = jnp.sum(pv_a.astype(jnp.int32)) * M
             c1, c2 = corr_onepass(st.gmap, st.fmap1, st.fmap2, coords_f,
-                                  kk_slot, jj_slot, nv=nv, **ckw)
+                                  kk_slot, jj_slot, nv=nv, layout='native',
+                                  **ckw)
+            corr_feat = jnp.concatenate(
+                [c1.reshape(E, -1), c2.reshape(E, -1)], axis=-1)
         else:
             c1, c2 = corr_fused(st.gmap, st.fmap1, st.fmap2, coords_f,
                                 kk_slot, jj_slot,
                                 select_kernel=(corr_impl == 'fused_k'),
                                 **ckw)
-        corr_feat = jnp.stack([c1, c2], axis=-1).reshape(E, -1)
+            corr_feat = jnp.stack([c1, c2], axis=-1).reshape(E, -1)
         inp = st.imap.reshape(pmem, M * DIM)[psl].reshape(E, DIM)
         return coords_r, corr_feat, inp
 
@@ -632,12 +638,16 @@ def vo_refine(params, st, *, M, pmem, mem, W, PCF, opt_window,
     if corr_impl == 'onepass':
         nv = jnp.sum(st.pvalid.astype(jnp.int32)) * M
         c1, c2 = corr_onepass(st.gmap, st.fmap1, st.fmap2, coords_f,
-                              kk_slot, jj_slot, nv=nv, **ckw)
+                              kk_slot, jj_slot, nv=nv, layout='native',
+                              **ckw)
+        # native layout; permuted update.corr.0 rows (see corr_two_level)
+        corr_feat = jnp.concatenate(
+            [c1.reshape(E, -1), c2.reshape(E, -1)], axis=-1)
     else:
         c1, c2 = corr_fused(st.gmap, st.fmap1, st.fmap2, coords_f,
                             kk_slot, jj_slot,
                             select_kernel=(corr_impl == 'fused_k'), **ckw)
-    corr_feat = jnp.stack([c1, c2], axis=-1).reshape(E, -1)
+        corr_feat = jnp.stack([c1, c2], axis=-1).reshape(E, -1)
     inp = st.imap.reshape(pmem, M * DIM)[psl].reshape(E, DIM)
 
     netf = st.net.reshape(E, DIM)

@@ -129,7 +129,7 @@ class DPVO:
         # 'xla' = pure-XLA fallback (ops/corr.py) for CPU/debug runs.
         # Decided OUTSIDE any jit trace (device_driver._pick_corr_impl).
         from .device_driver import _pick_corr_impl
-        self._corr_mode = ('onepass' if _pick_corr_impl() == 'onepass'
+        self._corr_mode = ('onepass' if _pick_corr_impl(ht, wd) == 'onepass'
                            else 'fused')
         # optional test seam: (poses, patch_xy, depth, intr, ii, jj, kk) ->
         # (target, weight), replacing the learned corr+update path

@@ -39,18 +39,30 @@ kk = jnp.asarray(rng.randint(0, F * M, E), jnp.int32)
 jj = jnp.asarray(np.sort(rng.randint(0, 22, E)), jnp.int32)
 nv = jnp.asarray(NV, jnp.int32)
 prep = ((H1, W1), (H1 // 4, W1 // 4))
+# the pipeline gathers g9 at PAIR granularity outside the kernel
+# (device_vo.py corr_two_level); a per-edge 49k-row gather inside the timed
+# region costs ~500 ms on TPU (row gathers lower to sequential loops) and
+# swamps the kernel being measured.
+g9 = jnp.asarray(np.asarray(gmap).reshape(F * M, P * P, C)[np.asarray(kk)])
+jax.block_until_ready(g9)
 
 
 def bench(label, fn, *args, **kw):
     f = jax.jit(lambda *a: fn(*a, **kw))
+
+    def fence(o):
+        # value fetch = true completion fence on axon, but fetch ONE element:
+        # np.asarray pulls the whole 87 MB c1 over the tunnel (~400 ms,
+        # swamping the 12 ms kernel being measured)
+        return float(o[0][0, 0, 0, 0, 0])
     try:
         out = f(*args)
         jax.block_until_ready(out)
-        _ = float(np.asarray(out[0]).ravel()[0])     # true completion fence
+        _ = fence(out)
         t0 = time.perf_counter()
         for _ in range(ITERS):
             out = f(*args)
-        _ = float(np.asarray(out[0]).ravel()[0])
+        _ = fence(out)
         dt = (time.perf_counter() - t0) / ITERS
         print(f'{label:28s}: {dt*1e3:8.2f} ms ({dt/E*1e9:6.1f} ns/edge)',
               flush=True)
@@ -60,10 +72,10 @@ def bench(label, fn, *args, **kw):
 
 print(f'backend={jax.default_backend()} E={E} NV={NV}', flush=True)
 bench('fused + select kernel', corr_fused, gmap, fp1, fp2, coords, kk, jj,
-      prepadded=prep, select_kernel=True)
+      prepadded=prep, select_kernel=True, g9=g9)
 bench('fused + XLA select', corr_fused, gmap, fp1, fp2, coords, kk, jj,
-      prepadded=prep, select_kernel=False)
+      prepadded=prep, select_kernel=False, g9=g9)
 bench('onepass (nv=E)', corr_onepass, gmap, fp1, fp2, coords, kk, jj,
-      prepadded=prep)
+      prepadded=prep, g9=g9)
 bench('onepass (nv)', corr_onepass, gmap, fp1, fp2, coords, kk, jj,
-      prepadded=prep, nv=nv)
+      prepadded=prep, nv=nv, g9=g9)

@@ -113,3 +113,67 @@ def test_corr_onepass_spread_overflow_zeros():
     # (py=1,2) overflow the 4px budget and produce zeros
     assert np.all(np.asarray(c1)[:, :, :, 1:, :] == 0.0)
     assert np.abs(np.asarray(c1)[:, :, :, 0, :]).max() > 0.0
+
+
+def test_corr_onepass_ox16_alignment_slack():
+    """ox = 16 is reachable in the L1 window (7px of 8-alignment slack +
+    large-but-legal x spread) and must produce CORRECT taps, not zeros.
+    The round-2 revision packed ox with 4 bits and aliased 16 onto shift 15
+    (wrong values); this pins the 5-bit packing."""
+    rng = np.random.RandomState(7)
+    F, E, H1, W1 = 1, 32, 64, 96
+    gmap = rng.randn(16, P, P, 128).astype(np.float32)
+    fmap1 = rng.randn(F, H1, W1, 128).astype(np.float32)
+    fmap2 = rng.randn(F, H1 // 4, W1 // 4, 128).astype(np.float32)
+    # x positions chosen so min_xi = 26: alignment slack (26-3) % 8 = 7,
+    # plus 9px of spread -> the max-x pixels land exactly on ox = 16
+    coords = np.zeros((E, P, P, 2), np.float32)
+    for e in range(E):
+        base = 26.0 + 0.125 * (e % 8)
+        xs = np.array([base, base + 4.5, base + 9.0])
+        coords[e, :, :, 0] = xs[None, :]
+        coords[e, :, :, 1] = 30.0 + 0.3 * np.arange(P)[:, None]
+    kk = np.zeros(E, np.int32)
+    jj = np.zeros(E, np.int32)
+
+    c1, c2 = corr_onepass(jnp.asarray(gmap, jnp.bfloat16),
+                          jnp.asarray(fmap1, jnp.bfloat16),
+                          jnp.asarray(fmap2, jnp.bfloat16),
+                          jnp.asarray(coords), jnp.asarray(kk),
+                          jnp.asarray(jj), interpret=True)
+    r1, r2 = _xla_ref(jnp.asarray(gmap, jnp.bfloat16),
+                      jnp.asarray(fmap1, jnp.bfloat16),
+                      jnp.asarray(fmap2, jnp.bfloat16), coords, kk, jj)
+    scale = np.abs(r1).max()
+    np.testing.assert_allclose(np.asarray(c1), r1, atol=0.02 * scale)
+    np.testing.assert_allclose(np.asarray(c2), r2, atol=0.02 * scale)
+
+
+def test_corr_onepass_native_layout_and_weight_perm():
+    """layout='native' + permuted update.corr.0 rows == reference layout
+    corr_feat @ reference weights (the device runtime's fast path)."""
+    gmap, fmap1, fmap2, coords, kk, jj = make_case(E=64)
+    g16 = jnp.asarray(gmap, jnp.bfloat16)
+    f1 = jnp.asarray(fmap1, jnp.bfloat16)
+    f2 = jnp.asarray(fmap2, jnp.bfloat16)
+    args = (g16, f1, f2, jnp.asarray(coords), jnp.asarray(kk),
+            jnp.asarray(jj))
+
+    c1r, c2r = corr_onepass(*args, interpret=True)
+    c1n, c2n = corr_onepass(*args, interpret=True, layout='native')
+    E = coords.shape[0]
+    ref = np.stack([np.asarray(c1r), np.asarray(c2r)], -1).reshape(E, -1)
+    nat = np.concatenate([np.asarray(c1n).reshape(E, -1),
+                          np.asarray(c2n).reshape(E, -1)], -1)
+
+    from dpvo_tpu.models.vonet import corr_native_perm
+    perm = corr_native_perm()
+    np.testing.assert_array_equal(ref, nat[:, perm])
+
+    # weight-row permutation commutes with the contraction
+    rng = np.random.RandomState(3)
+    W = rng.randn(ref.shape[1], 16).astype(np.float32)
+    Wn = np.empty_like(W)
+    Wn[perm] = W
+    # summation order differs between the two contractions -> f32 tolerance
+    np.testing.assert_allclose(ref @ W, nat @ Wn, rtol=1e-5, atol=1e-2)
