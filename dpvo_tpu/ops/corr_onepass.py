@@ -25,20 +25,21 @@ epilogue therefore runs on FLAT (R, Wy*Wx) planes:
   * a window-row shift `s` is the contiguous lane slice [s*Wx, s*Wx+d*Wx);
   * the column pass shifts the flat row-pass result by `s` lanes (group
     crossings land on tap columns k >= d, which are discarded);
-  * the final (d*Wx) -> (d*d) tap compaction is one small constant
-    matmul on the MXU (scatter-free, layout-free).
+  * the final (d*Wx) -> (d*d) tap compaction is d masked static lane
+    slices (_compact_taps; scatter-free, and much cheaper than an MXU
+    selection matmul, whose operand relayouts dominate).
 
 Work is gated on a scalar-prefetched valid-edge prefix count `nv` (valid
 pairs are a prefix after _compact_pairs, runtime/device_vo.py): blocks
 wholly past `nv` skip the dots AND the epilogue (they only zero their
 output tiles), so cost scales with the live edge count, not the capacity.
 
-Window geometry, padding, clamping, and masking semantics are identical to
-ops/corr_fused.py (shared helpers); math parity with the exact XLA path
-(ops/corr.py) is held by tests/test_corr_onepass.py including borders and
-spread overflow.  Unlike the round-2 revision, `ox` is packed with 5 bits:
-the L1 window legitimately reaches ox = 16 (8-alignment slack 7 + spread),
-which a 4-bit clamp aliased onto shift 15.
+Window geometry, padding, clamping, and masking semantics follow
+ops/corr_fused.py (shared helpers), except that L1 uses a 4-aligned
+16-col window over an in-VMEM phase pair (see WX1 below); math parity with
+the exact XLA path (ops/corr.py) is held by tests/test_corr_onepass.py
+including borders and spread overflow.  `ox` is packed with 5 bits so the
+overflow clamp (31) can never alias a legal in-window shift.
 """
 from __future__ import annotations
 
@@ -50,10 +51,34 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .corr_fused import (WY, WX, WY2, WX2, TY, TX, D_MIN,
-                         pad_slab, pad_slab2, _window_base)
+from .corr_fused import (WY, WY2, WX2, TY, TX, D_MIN, pad_hw,
+                         pad_slab2, _window_base)
 
 EB = 32          # edges per grid step
+# L1 window cols: 16 instead of corr_fused's 24.  The slab is held as a
+# PHASE PAIR in HBM (phase B shifted 4 px, same trick pad_slab2 plays for
+# L2 — DMA slices need 8-aligned sublane starts, so the shift cannot be
+# applied at copy time), so any 4-aligned base is 8-aligned in one phase:
+# alignment slack drops 7 -> 3, the merged dot shrinks (448 -> 352
+# contraction rows) and the column-shift epilogue needs 9 masked passes
+# over 112 lanes instead of 17 over 168.  Affordable now that the
+# scoped-vmem cap is raised (2x 7.4 MB slab copies at 640x480).  The
+# guaranteed x-spread budget is unchanged (5 px; slack 3 + spread 5 + 8
+# taps = 16).
+WX1 = 16
+
+
+def pad_slab1pair(f):
+    """(F, H, W, C) -> (F, 2, Hp, Wp, C) L1 phase pair (pad_hw dims).
+
+    Phase B is shifted 4 px in x: any 4-aligned window base is 8-aligned
+    in one of the two copies (mirrors pad_slab2's L2 trick)."""
+    F, H, W, C = f.shape
+    Hp, Wp = pad_hw(H, W)
+    fa = jnp.pad(f, ((0, 0), (TY, Hp - H - TY), (TX, Wp - W - TX), (0, 0)))
+    fb = jnp.pad(f, ((0, 0), (TY, Hp - H - TY),
+                     (TX - 4, Wp - W - TX + 4), (0, 0)))
+    return jnp.stack([fa, fb], axis=1)
 
 _AVAILABLE = {}      # keyed by feature-map dims: viability is shape-dependent
 
@@ -162,19 +187,28 @@ def _select_flat(plane, sel, fy, fx, vrow, *, H, W, Wy, Wx, radius):
     return out
 
 
-def _compact_matrix(Wx, radius):
-    """(d*Wx, d*d) 0/1 selection: flat lane i*Wx + k -> tap i*d + k."""
+def _compact_taps(w, Wx, radius):
+    """(R, d*Wx) -> (R, d*d): flat lane i*Wx + k -> tap i*d + k.
+
+    Seven masked STATIC lane slices (output lane j of piece i reads input
+    lane j + (Wx-d)*i; the piece mask j//d == i is a constant).  Replaces a
+    (R, d*Wx) x (d*Wx, d*d) f32 selection matmul whose VPU<->MXU operand
+    relayouts cost ~6 us per block (~9 ms/frame at E=49k) — far more than
+    this pure-VPU form."""
+    R = w.shape[0]
     d = 2 * radius + 1
-    S = np.zeros((d * Wx, d * d), np.float32)
+    jl = jax.lax.broadcasted_iota(jnp.int32, (R, d * d), 1) // d
+    out = jnp.zeros((R, d * d), jnp.float32)
     for i in range(d):
-        for k in range(d):
-            S[i * Wx + k, i * d + k] = 1.0
-    return jnp.asarray(S)
+        piece = jax.lax.slice_in_dim(w, (Wx - d) * i, (Wx - d) * i + d * d,
+                                     axis=1)
+        out = out + jnp.where(jl == i, piece, 0.0)
+    return out
 
 
 def _onepass_kernel(nv_ref, pa_ref, pb_ref,
                     g_ref, s1_ref, fr1_ref, s2_ref, fr2_ref,
-                    S1_ref, S2_ref, f1_hbm, f2_hbm,
+                    f1_hbm, f2_hbm,
                     out1_ref, out2_ref,
                     pl1, pl2, f1_vmem, f2_vmem, cur_ref, sem_ref,
                     *, H1, W1, H2, W2, radius, gated=True):
@@ -221,9 +255,10 @@ def _onepass_kernel(nv_ref, pa_ref, pb_ref,
                 cur_ref[0] = js
 
             g = g_ref[e]                                    # (P2, C)
-            w1 = f1_vmem[pl.ds((pa >> 8) & 0x3FF, WY),
+            w1 = f1_vmem[(pa >> 26) & 1,
+                         pl.ds((pa >> 8) & 0x3FF, WY),
                          pl.ds(pl.multiple_of(((pa >> 18) & 0xFF) * 8, 8),
-                               WX), :]
+                               WX1), :]
             w2 = f2_vmem[(pb >> 18) & 1,
                          pl.ds(pb & 0x3FF, WY2),
                          pl.ds(pl.multiple_of(((pb >> 10) & 0xFF) * 8, 8),
@@ -232,13 +267,13 @@ def _onepass_kernel(nv_ref, pa_ref, pb_ref,
             # overhead dominates at 9 rows, so splitting the levels into
             # two dots doubles the ~250 ns/edge floor (v5e, EB sweep).
             w12 = jnp.concatenate(
-                [w1.reshape(WY * WX, C), w2.reshape(WY2 * WX2, C)],
+                [w1.reshape(WY * WX1, C), w2.reshape(WY2 * WX2, C)],
                 axis=0)
             p12 = jax.lax.dot_general(
                 g, w12, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            pl1[e] = p12[:, :WY * WX].astype(pl1.dtype)
-            pl2[e] = p12[:, WY * WX:].astype(pl2.dtype)
+            pl1[e] = p12[:, :WY * WX1].astype(pl1.dtype)
+            pl2[e] = p12[:, WY * WX1:].astype(pl2.dtype)
             return 0
 
         jax.lax.fori_loop(0, EB, body, 0)
@@ -247,18 +282,14 @@ def _onepass_kernel(nv_ref, pa_ref, pb_ref,
         vrow = ((blk * EB
                  + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) // P2)
                 < nv).astype(jnp.float32)
-        w1 = _select_flat(pl1[...].reshape(R, WY * WX), s1_ref[...],
+        w1 = _select_flat(pl1[...].reshape(R, WY * WX1), s1_ref[...],
                           fr1_ref[:, 0:1], fr1_ref[:, 1:2], vrow,
-                          H=H1, W=W1, Wy=WY, Wx=WX, radius=radius)
-        out1_ref[...] = jax.lax.dot_general(
-            w1, S1_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+                          H=H1, W=W1, Wy=WY, Wx=WX1, radius=radius)
+        out1_ref[...] = _compact_taps(w1, WX1, radius)
         w2 = _select_flat(pl2[...].reshape(R, WY2 * WX2), s2_ref[...],
                           fr2_ref[:, 0:1], fr2_ref[:, 1:2], vrow,
                           H=H2, W=W2, Wy=WY2, Wx=WX2, radius=radius)
-        out2_ref[...] = jax.lax.dot_general(
-            w2, S2_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        out2_ref[...] = _compact_taps(w2, WX2, radius)
 
     def _zero_block():
         out1_ref[...] = jnp.zeros((R, d * d), jnp.float32)
@@ -287,8 +318,6 @@ def _onepass_call(g9, fp1, fp2, pa, pb, s1, fr1, s2, fr2, nv,
             pl.BlockSpec((R, 2), lambda i, *_: (i, 0)),
             pl.BlockSpec((R, 1), lambda i, *_: (i, 0)),
             pl.BlockSpec((R, 2), lambda i, *_: (i, 0)),
-            pl.BlockSpec((d * WX, d * d), lambda i, *_: (0, 0)),   # S1
-            pl.BlockSpec((d * WX2, d * d), lambda i, *_: (0, 0)),  # S2
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -297,16 +326,14 @@ def _onepass_call(g9, fp1, fp2, pa, pb, s1, fr1, s2, fr2, nv,
             pl.BlockSpec((R, d * d), lambda i, *_: (i, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((EB, P2, WY * WX), jnp.float32),
+            pltpu.VMEM((EB, P2, WY * WX1), jnp.float32),
             pltpu.VMEM((EB, P2, WY2 * WX2), jnp.float32),
-            pltpu.VMEM(fp1.shape[1:], fp1.dtype),
+            pltpu.VMEM(fp1.shape[1:], fp1.dtype),   # (2, Hp, Wp, C) pair
             pltpu.VMEM(fp2.shape[1:], fp2.dtype),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    S1 = _compact_matrix(WX, radius)
-    S2 = _compact_matrix(WX2, radius)
     return pl.pallas_call(
         partial(_onepass_kernel, H1=H1, W1=W1, H2=H2, W2=W2, radius=radius),
         grid_spec=grid_spec,
@@ -321,7 +348,7 @@ def _onepass_call(g9, fp1, fp2, pa, pb, s1, fr1, s2, fr2, nv,
       pb.astype(jnp.int32), g9,
       s1.reshape(E * P2, 1), fr1.reshape(E * P2, 2),
       s2.reshape(E * P2, 1), fr2.reshape(E * P2, 2),
-      S1, S2, fp1, fp2)
+      fp1, fp2)
 
 
 def corr_onepass(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
@@ -342,6 +369,10 @@ def corr_onepass(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
     E, P = coords.shape[0], coords.shape[1]
     d = 2 * radius + 1
     if prepadded is not None:
+        # prepadded fmap1 must be the (F, 2, Hp, Wp, C) L1 PHASE PAIR
+        # (pad_slab1pair) — NOT corr_fused's single-phase pad_slab format
+        assert fmap1.ndim == 5 and fmap1.shape[1] == 2, \
+            'corr_onepass prepadded L1 slab must be a pad_slab1pair'
         (H1, W1), (H2, W2) = prepadded
         fp1, fp2 = fmap1, fmap2
     else:
@@ -353,6 +384,11 @@ def corr_onepass(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
             or fmap1.shape[0] > 256 or max(H1, H2) + TY + 4 >= 1024
             or (max(W1, W2) + TX + 4) // 8 >= 256):
         from .corr_fused import corr_fused
+        if prepadded is not None:
+            # phase A of the pair IS corr_fused's pad_slab layout (one
+            # extra slab copy; only reachable at off-gamut resolutions the
+            # driver preflight would not have selected this kernel for)
+            fmap1 = fmap1[:, 0]
         c1, c2 = corr_fused(gmap, fmap1, fmap2, coords, kk_slot, jj_slot,
                             radius=radius, interpret=interpret, g9=g9,
                             prepadded=prepadded)
@@ -362,18 +398,21 @@ def corr_onepass(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
         return c1, c2
 
     if prepadded is None:
-        fp1 = pad_slab(fmap1)
+        fp1 = pad_slab1pair(fmap1)
         fp2 = pad_slab2(fmap2)
 
+    # align=4 on BOTH levels: each has an in-VMEM phase pair in the kernel
     xi1, yi1, fx1, fy1, by1, bx1, oy1, ox1 = \
-        _window_base(coords, H1, W1, radius)
+        _window_base(coords, H1, W1, radius, align=4)
     xi2, yi2, fx2, fy2, by2, bx2, oy2, ox2 = \
         _window_base(coords / 4.0, H2, W2, radius, align=4, wy=WY2)
 
+    ph1 = (bx1 // 4) % 2
+    bx1s = bx1 - 4 * ph1
     ph2 = (bx2 // 4) % 2
     bx2s = bx2 - 4 * ph2
     jsl32 = jj_slot.astype(jnp.int32)
-    pa = (jsl32 | (by1 << 8) | ((bx1 // 8) << 18))
+    pa = (jsl32 | (by1 << 8) | ((bx1s // 8) << 18) | (ph1 << 26))
     pb = (by2 | ((bx2s // 8) << 10) | (ph2 << 18))
 
     s1 = _pack_sel(yi1, xi1, oy1, ox1)

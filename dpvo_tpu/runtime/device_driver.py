@@ -94,7 +94,8 @@ class DeviceVO:
 
     def __call__(self, tstamp, image, intrinsics):
         if self.st is None:
-            self.st = init_state(self.cfg, self.ht, self.wd, intrinsics)
+            self.st = init_state(self.cfg, self.ht, self.wd, intrinsics,
+                                 self._static['corr_impl'])
 
         from .device_vo import CNT_CAP
         if len(self.tlist) + 1 >= CNT_CAP:
@@ -172,7 +173,8 @@ class DeviceVO:
         from .device_vo import CNT_CAP
         K = len(images)
         if self.st is None:
-            self.st = init_state(self.cfg, self.ht, self.wd, intrinsics)
+            self.st = init_state(self.cfg, self.ht, self.wd, intrinsics,
+                                 self._static['corr_impl'])
         if len(self.tlist) + K >= CNT_CAP:
             raise Exception('input frame capacity exceeded; raise '
                             'device_vo.CNT_CAP')

@@ -33,7 +33,7 @@ from ..ba_pairs import bundle_adjust_pairs, pair_centers, pair_depth
 from ..models.vonet import DIM, P, patchify_frame, update_op
 from ..ops.corr_fused import (corr_fused, pad_hw, pad_hw2,
                               pad_slab, pad_slab2)
-from ..ops.corr_onepass import corr_onepass
+from ..ops.corr_onepass import corr_onepass, pad_slab1pair
 
 CNT_CAP = 16384     # max input frames per sequence
 
@@ -87,7 +87,7 @@ def ring_capacity(cfg):
     return max(36, int(cfg.REMOVAL_WINDOW) + 7)
 
 
-def init_state(cfg, ht, wd, intrinsics):
+def init_state(cfg, ht, wd, intrinsics, corr_impl='fused'):
     M = cfg.PATCHES_PER_FRAME
     N = cfg.BUFFER_SIZE
     pmem = mem = ring_capacity(cfg)
@@ -95,6 +95,10 @@ def init_state(cfg, ht, wd, intrinsics):
     GP = _gp_cap(cfg)
     ht4, wd4 = ht // 4, wd // 4
     f16 = jnp.bfloat16 if cfg.MIXED_PRECISION else jnp.float32
+    # the one-pass kernel wants the L1 slab as a 4px-shifted PHASE PAIR
+    # (ops/corr_onepass.py:pad_slab1pair); corr_fused wants single-phase
+    f1_shape = (((mem, 2) if corr_impl == 'onepass' else (mem,))
+                + pad_hw(ht4, wd4) + (128,))
 
     return VOState(
         poses=jnp.tile(jnp.asarray([0, 0, 0, 0, 0, 0, 1.0], jnp.float32),
@@ -104,9 +108,10 @@ def init_state(cfg, ht, wd, intrinsics):
         colors=jnp.zeros((N, M, 3), jnp.float32),
         imap=jnp.zeros((pmem * M, DIM), f16),
         gmap=jnp.zeros((pmem * M, P, P, 128), f16),
-        # feature slabs live PRE-PADDED (corr_fused pad_slab): the border
-        # padding happens once per stored frame, not per corr call
-        fmap1=jnp.zeros((mem,) + pad_hw(ht4, wd4) + (128,), f16),
+        # feature slabs live PRE-PADDED (corr_fused pad_slab /
+        # corr_onepass pad_slab1pair): the border padding happens once per
+        # stored frame, not per corr call
+        fmap1=jnp.zeros(f1_shape, f16),
         fmap2=jnp.zeros((mem, 2) + pad_hw2(ht4 // 4, wd4 // 4) + (128,), f16),
         pi=jnp.zeros((GP,), jnp.int32),
         pj=jnp.zeros((GP,), jnp.int32),
@@ -379,9 +384,15 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
         st.imap, feats['imap'].astype(st.imap.dtype), (slot * M, 0))
     st.gmap = jax.lax.dynamic_update_slice(
         st.gmap, feats['gmap'].astype(st.gmap.dtype), (slot * M, 0, 0, 0))
-    st.fmap1 = jax.lax.dynamic_update_slice(
-        st.fmap1, pad_slab(feats['fmap1'][None].astype(st.fmap1.dtype)),
-        (slot, 0, 0, 0))
+    if corr_impl == 'onepass':
+        st.fmap1 = jax.lax.dynamic_update_slice(
+            st.fmap1,
+            pad_slab1pair(feats['fmap1'][None].astype(st.fmap1.dtype)),
+            (slot, 0, 0, 0, 0))
+    else:
+        st.fmap1 = jax.lax.dynamic_update_slice(
+            st.fmap1, pad_slab(feats['fmap1'][None].astype(st.fmap1.dtype)),
+            (slot, 0, 0, 0))
     st.fmap2 = jax.lax.dynamic_update_slice(
         st.fmap2, pad_slab2(feats['fmap2'][None].astype(st.fmap2.dtype)),
         (slot, 0, 0, 0, 0))

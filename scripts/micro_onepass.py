@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from dpvo_tpu.ops.corr_fused import corr_fused, pad_slab, pad_slab2
-from dpvo_tpu.ops.corr_onepass import corr_onepass
+from dpvo_tpu.ops.corr_onepass import corr_onepass, pad_slab1pair
 
 E = int(os.environ.get('E', 49152))
 NV = int(os.environ.get('NV', E))
@@ -24,7 +24,8 @@ rng = np.random.RandomState(0)
 gmap = jnp.asarray(rng.randn(F * M, P, P, C), jnp.bfloat16)
 f1 = jnp.asarray(rng.randn(F, H1, W1, C), jnp.bfloat16)
 f2 = jnp.asarray(rng.randn(F, H1 // 4, W1 // 4, C), jnp.bfloat16)
-fp1 = pad_slab(f1)
+fp1 = pad_slab(f1)             # corr_fused single-phase L1 slab
+fp1p = pad_slab1pair(f1)       # corr_onepass L1 phase pair
 fp2 = pad_slab2(f2)
 
 cx = rng.uniform(8, W1 - 9, E)
@@ -54,7 +55,7 @@ def bench(label, fn, *args, **kw):
         # value fetch = true completion fence on axon, but fetch ONE element:
         # np.asarray pulls the whole 87 MB c1 over the tunnel (~400 ms,
         # swamping the 12 ms kernel being measured)
-        return float(o[0][0, 0, 0, 0, 0])
+        return float(o[0][(0,) * o[0].ndim])
     try:
         out = f(*args)
         jax.block_until_ready(out)
@@ -75,7 +76,9 @@ bench('fused + select kernel', corr_fused, gmap, fp1, fp2, coords, kk, jj,
       prepadded=prep, select_kernel=True, g9=g9)
 bench('fused + XLA select', corr_fused, gmap, fp1, fp2, coords, kk, jj,
       prepadded=prep, select_kernel=False, g9=g9)
-bench('onepass (nv=E)', corr_onepass, gmap, fp1, fp2, coords, kk, jj,
+bench('onepass (nv=E)', corr_onepass, gmap, fp1p, fp2, coords, kk, jj,
       prepadded=prep, g9=g9)
-bench('onepass (nv)', corr_onepass, gmap, fp1, fp2, coords, kk, jj,
+bench('onepass (nv)', corr_onepass, gmap, fp1p, fp2, coords, kk, jj,
       prepadded=prep, nv=nv, g9=g9)
+bench('onepass native (nv=E)', corr_onepass, gmap, fp1p, fp2, coords, kk,
+      jj, prepadded=prep, g9=g9, layout='native')

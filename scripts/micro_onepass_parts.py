@@ -11,7 +11,8 @@ import jax
 import jax.numpy as jnp
 
 import dpvo_tpu.ops.corr_onepass as op
-from dpvo_tpu.ops.corr_fused import pad_slab, pad_slab2
+from dpvo_tpu.ops.corr_fused import pad_slab2
+from dpvo_tpu.ops.corr_onepass import pad_slab1pair
 
 E = int(os.environ.get('E', 49152))
 ITERS = int(os.environ.get('ITERS', 20))
@@ -28,7 +29,7 @@ if MODE == 'epilogue':
         # the dot gate only -- easiest: monkeypatch dot_general to zeros of
         # right shape is invasive; instead patch fori_loop used in module
         raise SystemExit('use DOTS=0 path below')
-if MODE == 'dots':
+if MODE in ('dots', 'dotsonly'):
     d = 7
     def _zero_select(plane, sel, fy, fx, vrow, *, H, W, Wy, Wx, radius):
         R = plane.shape[0]
@@ -36,12 +37,18 @@ if MODE == 'dots':
         return jnp.zeros((R, d * Wx), jnp.float32) + plane[:, :1] * 0.0 \
             + jnp.zeros((R, d * Wx), jnp.float32)
     op._select_flat = _zero_select
+if MODE == 'dotsonly':
+    # also stub the tap compaction: isolates dot loop + out writes + gating
+    def _zero_compact(w, Wx, radius):
+        d = 2 * radius + 1
+        return jnp.zeros((w.shape[0], d * d), jnp.float32) + w[:, :1] * 0.0
+    op._compact_taps = _zero_compact
 
 rng = np.random.RandomState(0)
 gmap = jnp.asarray(rng.randn(F * M, P, P, C), jnp.bfloat16)
 f1 = jnp.asarray(rng.randn(F, H1, W1, C), jnp.bfloat16)
 f2 = jnp.asarray(rng.randn(F, H1 // 4, W1 // 4, C), jnp.bfloat16)
-fp1 = pad_slab(f1)
+fp1 = pad_slab1pair(f1)
 fp2 = pad_slab2(f2)
 cx = rng.uniform(8, W1 - 9, E)
 cy = rng.uniform(8, H1 - 9, E)

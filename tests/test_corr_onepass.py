@@ -115,22 +115,22 @@ def test_corr_onepass_spread_overflow_zeros():
     assert np.abs(np.asarray(c1)[:, :, :, 0, :]).max() > 0.0
 
 
-def test_corr_onepass_ox16_alignment_slack():
-    """ox = 16 is reachable in the L1 window (7px of 8-alignment slack +
-    large-but-legal x spread) and must produce CORRECT taps, not zeros.
-    The round-2 revision packed ox with 4 bits and aliased 16 onto shift 15
-    (wrong values); this pins the 5-bit packing."""
+def test_corr_onepass_max_alignment_slack():
+    """ox = 8 is the L1 boundary (3px of 4-alignment slack + the full 5px
+    x-spread budget) and must produce CORRECT taps, not zeros.  Pins the
+    never-matching overflow clamp against off-by-one regressions (a round-2
+    revision aliased the max in-window shift onto the clamp value)."""
     rng = np.random.RandomState(7)
     F, E, H1, W1 = 1, 32, 64, 96
     gmap = rng.randn(16, P, P, 128).astype(np.float32)
     fmap1 = rng.randn(F, H1, W1, 128).astype(np.float32)
     fmap2 = rng.randn(F, H1 // 4, W1 // 4, 128).astype(np.float32)
-    # x positions chosen so min_xi = 26: alignment slack (26-3) % 8 = 7,
-    # plus 9px of spread -> the max-x pixels land exactly on ox = 16
+    # min_xi = 26: alignment slack (26-3) % 4 = 3, plus 5px of spread ->
+    # the max-x pixels land exactly on ox = 8 (window budget edge)
     coords = np.zeros((E, P, P, 2), np.float32)
     for e in range(E):
         base = 26.0 + 0.125 * (e % 8)
-        xs = np.array([base, base + 4.5, base + 9.0])
+        xs = np.array([base, base + 2.5, base + 5.0])
         coords[e, :, :, 0] = xs[None, :]
         coords[e, :, :, 1] = 30.0 + 0.3 * np.arange(P)[:, None]
     kk = np.zeros(E, np.int32)
