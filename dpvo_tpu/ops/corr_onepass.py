@@ -123,35 +123,22 @@ def kernel_available(H1=120, W1=160):
     return _AVAILABLE[key]
 
 
-def _pack_sel(yi, xi, oy, ox):
-    """Per-pixel select scalars packed into one int32 stream.
-
-    Layout: ox 5b | oy 3b | xi+8 10b | yi+8 10b.  oy/ox are clamped INTO
-    never-matching shift ranges (7 > Wy-8; 31 > Wx-8 for every level) so
-    patches whose projected spread overflows the window budget keep
-    producing exact zeros (same semantics as the XLA _select_taps)."""
-    return (jnp.minimum(ox, 31) | (jnp.minimum(oy, 7) << 5)
-            | ((xi + 8) << 8) | ((yi + 8) << 18)).astype(jnp.int32)
-
-
-def _select_flat(plane, sel, fy, fx, vrow, *, H, W, Wy, Wx, radius):
+def _select_flat(plane, yi, xi, fy, fx, oy, ox, vrow,
+                 *, H, W, Wy, Wx, radius):
     """Bilinear tap-select over one block of FLAT fp32 planes (VPU epilogue).
 
     plane (R, Wy*Wx) f32 — window row i at lanes [i*Wx, (i+1)*Wx);
-    sel (R, 1) packed ints; fy/fx (R, 1) f32; vrow (R, 1) f32 validity.
+    yi/xi/oy/ox (R, 1) f32 holding exact small ints; fy/fx (R, 1) f32;
+    vrow (R, 1) f32 validity.  Rows whose oy/ox fall outside the window
+    budget match no shift and produce exact zeros (spread overflow).
     Returns (R, d*Wx) f32 where the tap at (i, k) lives at lane i*Wx + k
-    (lanes k >= d are junk, discarded by the compaction matmul); rows with
+    (lanes k >= d are junk, discarded by _compact_taps); rows with
     vrow == 0 are exact zeros.  Lane-dim-preserving throughout.
     """
     R = plane.shape[0]
     D = 2 * radius + 2
     d = 2 * radius + 1
     FW = d * Wx
-
-    ox = sel & 0x1F
-    oy = (sel >> 5) & 0x7
-    xi = ((sel >> 8) & 0x3FF) - 8
-    yi = ((sel >> 18) & 0x3FF) - 8
 
     # row pass: t1 lane i*Wx + x  =  ay_i * plane[oy+i, x] + by_i * [oy+i+1]
     ir = jax.lax.broadcasted_iota(jnp.int32, (R, FW), 1) // Wx
@@ -207,7 +194,7 @@ def _compact_taps(w, Wx, radius):
 
 
 def _onepass_kernel(nv_ref, pa_ref, pb_ref,
-                    g_ref, s1_ref, fr1_ref, s2_ref, fr2_ref,
+                    g_ref, sxy_ref,
                     f1_hbm, f2_hbm,
                     out1_ref, out2_ref,
                     pl1, pl2, f1_vmem, f2_vmem, cur_ref, sem_ref,
@@ -278,16 +265,41 @@ def _onepass_kernel(nv_ref, pa_ref, pb_ref,
 
         jax.lax.fori_loop(0, EB, body, 0)
 
-        # ---- tap-select epilogue: whole block, flat VPU + MXU compact ----
-        vrow = ((blk * EB
-                 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) // P2)
-                < nv).astype(jnp.float32)
-        w1 = _select_flat(pl1[...].reshape(R, WY * WX1), s1_ref[...],
-                          fr1_ref[:, 0:1], fr1_ref[:, 1:2], vrow,
+        # ---- tap-select epilogue: whole block, pure VPU ----
+        # Per-pixel select scalars are computed HERE from one (EB, 64) f32
+        # stream of raw coords + per-edge window bases (natural XLA layout,
+        # one DMA).  The round-3 (R, 1)/(R, 2) stream formulation forced
+        # XLA to relayout T(1,128)-major producers into pallas's {1,0}
+        # operand layout — ~7 ms/frame of copies/reshapes/pack fusions.
+        rrow = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        vrow = ((blk * EB + rrow // P2) < nv).astype(jnp.float32)
+        Zr = jnp.repeat(sxy_ref[...], P2, axis=0)           # (R, 64)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, 64), 1)
+        pix = rrow % P2
+
+        def sel(base):
+            return jnp.sum(jnp.where(lane == base + pix, Zr, 0.0),
+                           axis=1, keepdims=True)
+
+        def derive(x, y, bx, by, H, W):
+            xf = jnp.floor(x)
+            yf = jnp.floor(y)
+            xi = jnp.clip(xf, -7.0, W + 7.0)
+            yi = jnp.clip(yf, -7.0, H + 7.0)
+            return (yi, xi, y - yf, x - xf,
+                    yi - radius - by, xi - radius - bx)
+
+        yi1, xi1, fy1, fx1, oy1, ox1 = derive(
+            sel(0), sel(P2), Zr[:, 36:37], Zr[:, 37:38], H1, W1)
+        yi2, xi2, fy2, fx2, oy2, ox2 = derive(
+            sel(2 * P2), sel(3 * P2), Zr[:, 38:39], Zr[:, 39:40], H2, W2)
+
+        w1 = _select_flat(pl1[...].reshape(R, WY * WX1),
+                          yi1, xi1, fy1, fx1, oy1, ox1, vrow,
                           H=H1, W=W1, Wy=WY, Wx=WX1, radius=radius)
         out1_ref[...] = _compact_taps(w1, WX1, radius)
-        w2 = _select_flat(pl2[...].reshape(R, WY2 * WX2), s2_ref[...],
-                          fr2_ref[:, 0:1], fr2_ref[:, 1:2], vrow,
+        w2 = _select_flat(pl2[...].reshape(R, WY2 * WX2),
+                          yi2, xi2, fy2, fx2, oy2, ox2, vrow,
                           H=H2, W=W2, Wy=WY2, Wx=WX2, radius=radius)
         out2_ref[...] = _compact_taps(w2, WX2, radius)
 
@@ -304,7 +316,7 @@ def _onepass_kernel(nv_ref, pa_ref, pb_ref,
 
 @partial(jax.jit, static_argnames=('H1', 'W1', 'H2', 'W2', 'radius',
                                    'interpret'))
-def _onepass_call(g9, fp1, fp2, pa, pb, s1, fr1, s2, fr2, nv,
+def _onepass_call(g9, fp1, fp2, pa, pb, sxy, nv,
                   *, H1, W1, H2, W2, radius, interpret=False):
     E, P2, C = g9.shape
     d = 2 * radius + 1
@@ -314,10 +326,7 @@ def _onepass_call(g9, fp1, fp2, pa, pb, s1, fr1, s2, fr2, nv,
         grid=(E // EB,),
         in_specs=[
             pl.BlockSpec((EB, P2, C), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((R, 1), lambda i, *_: (i, 0)),
-            pl.BlockSpec((R, 2), lambda i, *_: (i, 0)),
-            pl.BlockSpec((R, 1), lambda i, *_: (i, 0)),
-            pl.BlockSpec((R, 2), lambda i, *_: (i, 0)),
+            pl.BlockSpec((EB, 64), lambda i, *_: (i, 0)),   # coords+bases
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -345,10 +354,7 @@ def _onepass_call(g9, fp1, fp2, pa, pb, s1, fr1, s2, fr2, nv,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2**20),
         interpret=interpret,
     )(nv.reshape(1).astype(jnp.int32), pa.astype(jnp.int32),
-      pb.astype(jnp.int32), g9,
-      s1.reshape(E * P2, 1), fr1.reshape(E * P2, 2),
-      s2.reshape(E * P2, 1), fr2.reshape(E * P2, 2),
-      fp1, fp2)
+      pb.astype(jnp.int32), g9, sxy, fp1, fp2)
 
 
 def corr_onepass(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
@@ -401,10 +407,10 @@ def corr_onepass(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
         fp1 = pad_slab1pair(fmap1)
         fp2 = pad_slab2(fmap2)
 
-    # align=4 on BOTH levels: each has an in-VMEM phase pair in the kernel
-    xi1, yi1, fx1, fy1, by1, bx1, oy1, ox1 = \
+    # align=4 on BOTH levels: each level has a phase-pair slab
+    _, _, _, _, by1, bx1, _, _ = \
         _window_base(coords, H1, W1, radius, align=4)
-    xi2, yi2, fx2, fy2, by2, bx2, oy2, ox2 = \
+    _, _, _, _, by2, bx2, _, _ = \
         _window_base(coords / 4.0, H2, W2, radius, align=4, wy=WY2)
 
     ph1 = (bx1 // 4) % 2
@@ -415,10 +421,17 @@ def corr_onepass(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
     pa = (jsl32 | (by1 << 8) | ((bx1s // 8) << 18) | (ph1 << 26))
     pb = (by2 | ((bx2s // 8) << 10) | (ph2 << 18))
 
-    s1 = _pack_sel(yi1, xi1, oy1, ox1)
-    s2 = _pack_sel(yi2, xi2, oy2, ox2)
-    fr1 = jnp.stack([fy1, fx1], axis=-1).astype(jnp.float32)
-    fr2 = jnp.stack([fy2, fx2], axis=-1).astype(jnp.float32)
+    # ONE (E, 64) f32 stream of raw per-pixel coords + per-edge window
+    # bases (image coords); the kernel derives floor/frac/offset/validity
+    # per pixel itself.  Natural {1,0} layout — no relayout copies.
+    x1 = coords[..., 0].reshape(E, P * P).astype(jnp.float32)
+    y1 = coords[..., 1].reshape(E, P * P).astype(jnp.float32)
+    bases = jnp.stack(
+        [bx1 - TX, by1 - TY, bx2 - TX, by2 - TY], axis=-1
+    ).astype(jnp.float32)
+    sxy = jnp.concatenate(
+        [x1, y1, x1 / 4.0, y1 / 4.0, bases,
+         jnp.zeros((E, 64 - 4 * P * P - 4), jnp.float32)], axis=1)
 
     if g9 is None:
         g9 = gmap[kk_slot].reshape(E, P * P, gmap.shape[-1])
@@ -432,13 +445,13 @@ def corr_onepass(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
         def padrows(a):
             return jnp.concatenate(
                 [a, jnp.zeros((padn,) + a.shape[1:], a.dtype)], 0)
-        g9, s1, fr1, s2, fr2 = map(padrows, (g9, s1, fr1, s2, fr2))
+        g9, sxy = map(padrows, (g9, sxy))
         # padded edges reuse the last real slot word (no slab reload)
         pa = jnp.concatenate([pa, jnp.broadcast_to(pa[-1:], (padn,))])
         pb = jnp.concatenate([pb, jnp.broadcast_to(pb[-1:], (padn,))])
     nv = jnp.minimum(jnp.asarray(nv, jnp.int32), E)
 
-    t1, t2 = _onepass_call(g9, fp1, fp2, pa, pb, s1, fr1, s2, fr2, nv,
+    t1, t2 = _onepass_call(g9, fp1, fp2, pa, pb, sxy, nv,
                            H1=H1, W1=W1, H2=H2, W2=W2, radius=radius,
                            interpret=interpret)
     if layout == 'native':

@@ -259,21 +259,33 @@ def _shift_frames(st, k, n, M, pmem, mem):
     return st
 
 
+def _permute_int_rows(x, order):
+    """(GP,) int/bool permutation via the one-hot MXU gather (values are
+    small frame indices — exact in f32; a fancy-index gather lowers to a
+    sequential while loop on TPU)."""
+    from ..ba_pairs import gather_rows
+    out = gather_rows(x.astype(jnp.float32).reshape(-1, 1), order)
+    return out.reshape(-1).astype(x.dtype)
+
+
 def _compact_pairs(st):
     """Sort pairs by target frame (invalid last); permute per-pair state.
 
     Grouping by pj is the frame-resident corr kernel's contract (each pj
     change re-DMAs the fmap slabs, ops/corr_fused.py) — and compaction
-    comes for free: invalid pairs sort to the back.
+    comes for free: invalid pairs sort to the back.  All permutations run
+    as one-hot MXU matmuls: fancy-index row gathers lower to sequential
+    while loops on TPU (the (GP, M, DIM) net permute alone was ~ms-scale).
     """
+    from ..ba_pairs import gather_rows
     BIG = jnp.int32(1 << 20)
     order = jnp.argsort(jnp.where(st.pvalid, st.pj, BIG), stable=True)
-    st.pi = st.pi[order]
-    st.pj = st.pj[order]
-    st.pvalid = st.pvalid[order]
-    st.net = st.net[order]
-    st.target = st.target[order]
-    st.weight = st.weight[order]
+    st.pi = _permute_int_rows(st.pi, order)
+    st.pj = _permute_int_rows(st.pj, order)
+    st.pvalid = _permute_int_rows(st.pvalid, order)
+    st.net = gather_rows(st.net, order)
+    st.target = gather_rows(st.target, order)
+    st.weight = gather_rows(st.weight, order)
     return st
 
 
@@ -408,7 +420,10 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
         psl = _slot_of(st.fslot, pi_a)
         kk_slot = (psl[:, None] * M + jnp.arange(M)[None, :]).reshape(E)
         jj_slot = jnp.repeat(_slot_of(st.fslot, pj_a), M)
-        g9 = st.gmap.reshape(pmem, M, P * P, st.gmap.shape[-1])[psl]
+        from ..ba_pairs import gather_rows
+        # one-hot MXU gather: the fancy-index form lowers to a sequential
+        # 512-iteration while loop moving ~113 MB (~22 ms/frame measured)
+        g9 = gather_rows(st.gmap.reshape(pmem, -1), psl)
         h4, w4 = image.shape[0] // 4, image.shape[1] // 4
         ckw = dict(g9=g9.reshape(E, P * P, st.gmap.shape[-1]),
                    prepadded=((h4, w4), (h4 // 4, w4 // 4)))
@@ -430,7 +445,7 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
                                 select_kernel=(corr_impl == 'fused_k'),
                                 **ckw)
             corr_feat = jnp.stack([c1, c2], axis=-1).reshape(E, -1)
-        inp = st.imap.reshape(pmem, M * DIM)[psl].reshape(E, DIM)
+        inp = gather_rows(st.imap.reshape(pmem, M * DIM), psl).reshape(E, DIM)
         return coords_r, corr_feat, inp
 
     def probe_delta():
@@ -643,7 +658,8 @@ def vo_refine(params, st, *, M, pmem, mem, W, PCF, opt_window,
     psl = _slot_of(st.fslot, st.pi)
     kk_slot = (psl[:, None] * M + marange[None, :]).reshape(E)
     jj_slot = jnp.repeat(_slot_of(st.fslot, st.pj), M)
-    g9 = st.gmap.reshape(pmem, M, P * P, st.gmap.shape[-1])[psl]
+    from ..ba_pairs import gather_rows
+    g9 = gather_rows(st.gmap.reshape(pmem, -1), psl)   # one-hot MXU gather
     ckw = dict(g9=g9.reshape(E, P * P, st.gmap.shape[-1]),
                prepadded=((ht4, wd4), (ht4 // 4, wd4 // 4)))
     if corr_impl == 'onepass':
@@ -659,7 +675,7 @@ def vo_refine(params, st, *, M, pmem, mem, W, PCF, opt_window,
                             kk_slot, jj_slot,
                             select_kernel=(corr_impl == 'fused_k'), **ckw)
         corr_feat = jnp.stack([c1, c2], axis=-1).reshape(E, -1)
-    inp = st.imap.reshape(pmem, M * DIM)[psl].reshape(E, DIM)
+    inp = gather_rows(st.imap.reshape(pmem, M * DIM), psl).reshape(E, DIM)
 
     netf = st.net.reshape(E, DIM)
     netf, delta, wgt = update_op(
