@@ -121,7 +121,7 @@ def patchify_frame(params, image, coords, mixed_precision=True):
 
     # color at full resolution (net.py:143): bilinear at 4*(coords+0.5)
     clr = extract_patches(image, 4.0 * (coords + 0.5), 0)[:, 0, 0, :]
-    clr = (clr + 0.5) * (255.0 / 2)
+    clr = (clr.astype(jnp.float32) + 0.5) * (255.0 / 2)
 
     fmap1 = avg_pool2d(fmap, 1)
     fmap2 = avg_pool2d(fmap, 4)

@@ -198,14 +198,15 @@ def _onepass_kernel(nv_ref, pa_ref, pb_ref,
                     f1_hbm, f2_hbm,
                     out1_ref, out2_ref,
                     pl1, pl2, f1_vmem, f2_vmem, cur_ref, sem_ref,
-                    *, H1, W1, H2, W2, radius, P2, gated=True):
+                    *, H1, W1, H2, W2, radius, gated=True):
     """Per grid step: EB edges' plane dots into flat fp32 VMEM scratch, then
     the tap-select epilogue + compaction matmul for the whole block.  Slabs
     re-DMA only on target slot change (edges grouped by target).  With
     gated=True, blocks wholly past `nv` only zero their output tiles."""
     blk = pl.program_id(0)
     nv = nv_ref[0]
-    C = g_ref.shape[1]
+    P2 = g_ref.shape[1]
+    C = g_ref.shape[2]
     R = EB * P2
     d = 2 * radius + 1
 
@@ -240,11 +241,7 @@ def _onepass_kernel(nv_ref, pa_ref, pb_ref,
                 cp2.wait()
                 cur_ref[0] = js
 
-            # (P2, C) rows of the FLAT (EB*P2, C) block: a 2-D g operand
-            # keeps the producer gather in its natural {1,0} layout (the
-            # 3-D (EB, P2, C) form pads sublane 9 -> 16 in HBM and cost a
-            # 0.64 ms/frame relayout at E=49k)
-            g = g_ref[pl.ds(e * P2, P2), :]
+            g = g_ref[e]                                    # (P2, C)
             w1 = f1_vmem[(pa >> 26) & 1,
                          pl.ds((pa >> 8) & 0x3FF, WY),
                          pl.ds(pl.multiple_of(((pa >> 18) & 0xFF) * 8, 8),
@@ -300,17 +297,15 @@ def _onepass_kernel(nv_ref, pa_ref, pb_ref,
         w1 = _select_flat(pl1[...].reshape(R, WY * WX1),
                           yi1, xi1, fy1, fx1, oy1, ox1, vrow,
                           H=H1, W=W1, Wy=WY, Wx=WX1, radius=radius)
-        out1_ref[...] = _compact_taps(w1, WX1, radius).astype(
-            out1_ref.dtype)
+        out1_ref[...] = _compact_taps(w1, WX1, radius)
         w2 = _select_flat(pl2[...].reshape(R, WY2 * WX2),
                           yi2, xi2, fy2, fx2, oy2, ox2, vrow,
                           H=H2, W=W2, Wy=WY2, Wx=WX2, radius=radius)
-        out2_ref[...] = _compact_taps(w2, WX2, radius).astype(
-            out2_ref.dtype)
+        out2_ref[...] = _compact_taps(w2, WX2, radius)
 
     def _zero_block():
-        out1_ref[...] = jnp.zeros((R, d * d), out1_ref.dtype)
-        out2_ref[...] = jnp.zeros((R, d * d), out2_ref.dtype)
+        out1_ref[...] = jnp.zeros((R, d * d), jnp.float32)
+        out2_ref[...] = jnp.zeros((R, d * d), jnp.float32)
 
     if gated:
         pl.when(active)(_run_block)
@@ -319,23 +314,18 @@ def _onepass_kernel(nv_ref, pa_ref, pb_ref,
         _run_block()
 
 
-@partial(jax.jit, static_argnames=('P2', 'H1', 'W1', 'H2', 'W2', 'radius',
-                                   'out_dtype', 'interpret'))
-def _onepass_call(g2, fp1, fp2, pa, pb, sxy, nv,
-                  *, P2, H1, W1, H2, W2, radius, out_dtype=jnp.float32,
-                  interpret=False):
-    EP, C = g2.shape
-    E = EP // P2
+@partial(jax.jit, static_argnames=('H1', 'W1', 'H2', 'W2', 'radius',
+                                   'interpret'))
+def _onepass_call(g9, fp1, fp2, pa, pb, sxy, nv,
+                  *, H1, W1, H2, W2, radius, interpret=False):
+    E, P2, C = g9.shape
     d = 2 * radius + 1
     R = EB * P2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(E // EB,),
         in_specs=[
-            # FLAT (R, C) source-patch block: 2-D keeps the one-hot gather
-            # producing it in its natural {1,0} layout (3-D (EB, P2, C)
-            # pads sublane P2=9 -> 16 and costs a full relayout copy)
-            pl.BlockSpec((R, C), lambda i, *_: (i, 0)),
+            pl.BlockSpec((EB, P2, C), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((EB, 64), lambda i, *_: (i, 0)),   # coords+bases
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -354,23 +344,22 @@ def _onepass_call(g2, fp1, fp2, pa, pb, sxy, nv,
         ],
     )
     return pl.pallas_call(
-        partial(_onepass_kernel, H1=H1, W1=W1, H2=H2, W2=W2, radius=radius,
-                P2=P2),
+        partial(_onepass_kernel, H1=H1, W1=W1, H2=H2, W2=W2, radius=radius),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((E * P2, d * d), out_dtype),
-                   jax.ShapeDtypeStruct((E * P2, d * d), out_dtype)],
+        out_shape=[jax.ShapeDtypeStruct((E * P2, d * d), jnp.float32),
+                   jax.ShapeDtypeStruct((E * P2, d * d), jnp.float32)],
         # default 16 MB scoped-vmem limit OOMs at 640x480 production shape
         # (frame slabs ~9.5 MB + the unrolled flat-epilogue temporaries =
         # 20.8 MB measured); v5e has 128 MB VMEM, so raise the cap.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2**20),
         interpret=interpret,
     )(nv.reshape(1).astype(jnp.int32), pa.astype(jnp.int32),
-      pb.astype(jnp.int32), g2, sxy, fp1, fp2)
+      pb.astype(jnp.int32), g9, sxy, fp1, fp2)
 
 
 def corr_onepass(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
                  interpret=False, g9=None, prepadded=None, nv=None,
-                 layout='reference', out_dtype=jnp.float32):
+                 layout='reference'):
     """Drop-in replacement for ops/corr_fused.corr_fused with an optional
     valid-edge prefix count `nv` (traced int32; edges >= nv produce exact
     zeros).  Same contract: edges grouped by jj_slot; returns (c1, c2).
@@ -412,7 +401,7 @@ def corr_onepass(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
         if layout == 'native':
             c1 = c1.transpose(0, 3, 4, 1, 2).reshape(E, P * P, d * d)
             c2 = c2.transpose(0, 3, 4, 1, 2).reshape(E, P * P, d * d)
-        return c1.astype(out_dtype), c2.astype(out_dtype)
+        return c1, c2
 
     if prepadded is None:
         fp1 = pad_slab1pair(fmap1)
@@ -462,10 +451,8 @@ def corr_onepass(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
         pb = jnp.concatenate([pb, jnp.broadcast_to(pb[-1:], (padn,))])
     nv = jnp.minimum(jnp.asarray(nv, jnp.int32), E)
 
-    t1, t2 = _onepass_call(g9.reshape(Epad * P * P, g9.shape[-1]),
-                           fp1, fp2, pa, pb, sxy, nv,
-                           P2=P * P, H1=H1, W1=W1, H2=H2, W2=W2,
-                           radius=radius, out_dtype=out_dtype,
+    t1, t2 = _onepass_call(g9, fp1, fp2, pa, pb, sxy, nv,
+                           H1=H1, W1=W1, H2=H2, W2=W2, radius=radius,
                            interpret=interpret)
     if layout == 'native':
         return (t1.reshape(Epad, P * P, d * d)[:E],

@@ -341,11 +341,7 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
     GP = st.pi.shape[0]
 
     # ---------------- patchify + store ---------------- #
-    # normalize in the encoder's own dtype: the f32 intermediate cost
-    # ~0.7 ms/frame of pure HWC layout copies before the bf16 convert the
-    # encoder made anyway (u8 values are exact in bf16)
-    ndt = jnp.bfloat16 if mixed_precision else jnp.float32
-    img = image.astype(ndt) * ndt(2.0 / 255.0) - ndt(0.5)
+    img = 2.0 * (image.astype(jnp.float32) / 255.0) - 0.5
     feats = patchify_frame(params, img, coords,
                            mixed_precision=mixed_precision)
 
@@ -427,11 +423,7 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
         from ..ba_pairs import gather_rows
         # one-hot MXU gather: the fancy-index form lowers to a sequential
         # 512-iteration while loop moving ~113 MB (~22 ms/frame measured)
-        # 3-D (GP, M*P*P, C) gather output: its reshape to the kernel's
-        # flat (E*P*P, C) operand is tile-exact (M*P*P % 8 == 0), where the
-        # old (E, P*P, C) form padded sublane 9 -> 16 (0.64 ms/frame copy)
-        g9 = gather_rows(
-            st.gmap.reshape(pmem, M * P * P, st.gmap.shape[-1]), psl)
+        g9 = gather_rows(st.gmap.reshape(pmem, -1), psl)
         h4, w4 = image.shape[0] // 4, image.shape[1] // 4
         ckw = dict(g9=g9.reshape(E, P * P, st.gmap.shape[-1]),
                    prepadded=((h4, w4), (h4 // 4, w4 // 4)))
@@ -442,12 +434,9 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
             # permutation is absorbed into update.corr.0's weight rows at
             # driver init (models/vonet.py:permute_params_for_native_corr).
             nv = jnp.sum(pv_a.astype(jnp.int32)) * M
-            # bf16 taps out of the kernel = the convert the update op's
-            # bf16 corr GEMM did anyway (0.6 ms/frame of convert.165/166)
             c1, c2 = corr_onepass(st.gmap, st.fmap1, st.fmap2, coords_f,
                                   kk_slot, jj_slot, nv=nv, layout='native',
-                                  out_dtype=(jnp.bfloat16 if mixed_precision
-                                             else jnp.float32), **ckw)
+                                  **ckw)
             corr_feat = jnp.concatenate(
                 [c1.reshape(E, -1), c2.reshape(E, -1)], axis=-1)
         else:
@@ -670,16 +659,14 @@ def vo_refine(params, st, *, M, pmem, mem, W, PCF, opt_window,
     kk_slot = (psl[:, None] * M + marange[None, :]).reshape(E)
     jj_slot = jnp.repeat(_slot_of(st.fslot, st.pj), M)
     from ..ba_pairs import gather_rows
-    g9 = gather_rows(                                  # one-hot MXU gather
-        st.gmap.reshape(pmem, M * P * P, st.gmap.shape[-1]), psl)
+    g9 = gather_rows(st.gmap.reshape(pmem, -1), psl)   # one-hot MXU gather
     ckw = dict(g9=g9.reshape(E, P * P, st.gmap.shape[-1]),
                prepadded=((ht4, wd4), (ht4 // 4, wd4 // 4)))
     if corr_impl == 'onepass':
         nv = jnp.sum(st.pvalid.astype(jnp.int32)) * M
         c1, c2 = corr_onepass(st.gmap, st.fmap1, st.fmap2, coords_f,
                               kk_slot, jj_slot, nv=nv, layout='native',
-                              out_dtype=(jnp.bfloat16 if mixed_precision
-                                         else jnp.float32), **ckw)
+                              **ckw)
         # native layout; permuted update.corr.0 rows (see corr_two_level)
         corr_feat = jnp.concatenate(
             [c1.reshape(E, -1), c2.reshape(E, -1)], axis=-1)
