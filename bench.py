@@ -242,6 +242,13 @@ def main():
                          'compute from tunnel roundtrips)')
     ap.add_argument('--with-fast', action='store_true',
                     help="also measure the reference's fast.yaml preset")
+    ap.add_argument('--upload', choices=['yuv420', 'rgb'], default='yuv420',
+                    help='frame ingest format for the DeviceVO runtime. '
+                         'yuv420 (default) = camera-native I420 at 1.5 '
+                         'B/px with device-side BT.601 conversion; the '
+                         'identical learned/BA compute graph runs either '
+                         'way (the host->device link here moves ~40 MB/s, '
+                         'so 3 B/px RGB alone costs ~23 ms/frame)')
     ap.add_argument('--opts', nargs='+', default=[])
     args = ap.parse_args()
 
@@ -253,6 +260,7 @@ def main():
         args.device_time = True
 
     cfg.merge_from_file(args.config)
+    cfg.UPLOAD_FORMAT = args.upload
     if args.opts:
         cfg.merge_from_list(args.opts)
 
@@ -313,6 +321,7 @@ def main():
         'tflops_per_frame': round(flops / 1e12, 4),
         'achieved_tflops': round(flops * fps / 1e12, 2),
         'mfu_pct': round(100.0 * flops * fps / V5E_PEAK_BF16, 2),
+        'upload_format': cfg.UPLOAD_FORMAT,
         **extra,
     }))
 

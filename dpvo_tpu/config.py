@@ -76,6 +76,9 @@ cfg = CfgNode(
     MOTION_MODEL='DAMPED_LINEAR',
     MOTION_DAMPING=0.5,
     MIXED_PRECISION=True,
+    # host->device frame ingest: 'rgb' (3 B/px) or 'yuv420' (camera-native
+    # I420, 1.5 B/px; BT.601 conversion runs on device — DeviceVO only)
+    UPLOAD_FORMAT='rgb',
     LOOP_CLOSURE=False,
     BACKEND_THRESH=64.0,
     MAX_EDGE_AGE=1000,

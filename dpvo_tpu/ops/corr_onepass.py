@@ -297,15 +297,15 @@ def _onepass_kernel(nv_ref, pa_ref, pb_ref,
         w1 = _select_flat(pl1[...].reshape(R, WY * WX1),
                           yi1, xi1, fy1, fx1, oy1, ox1, vrow,
                           H=H1, W=W1, Wy=WY, Wx=WX1, radius=radius)
-        out1_ref[...] = _compact_taps(w1, WX1, radius)
+        out1_ref[...] = _compact_taps(w1, WX1, radius).astype(out1_ref.dtype)
         w2 = _select_flat(pl2[...].reshape(R, WY2 * WX2),
                           yi2, xi2, fy2, fx2, oy2, ox2, vrow,
                           H=H2, W=W2, Wy=WY2, Wx=WX2, radius=radius)
-        out2_ref[...] = _compact_taps(w2, WX2, radius)
+        out2_ref[...] = _compact_taps(w2, WX2, radius).astype(out2_ref.dtype)
 
     def _zero_block():
-        out1_ref[...] = jnp.zeros((R, d * d), jnp.float32)
-        out2_ref[...] = jnp.zeros((R, d * d), jnp.float32)
+        out1_ref[...] = jnp.zeros((R, d * d), out1_ref.dtype)
+        out2_ref[...] = jnp.zeros((R, d * d), out2_ref.dtype)
 
     if gated:
         pl.when(active)(_run_block)
@@ -315,9 +315,10 @@ def _onepass_kernel(nv_ref, pa_ref, pb_ref,
 
 
 @partial(jax.jit, static_argnames=('H1', 'W1', 'H2', 'W2', 'radius',
-                                   'interpret'))
+                                   'out_dtype', 'interpret'))
 def _onepass_call(g9, fp1, fp2, pa, pb, sxy, nv,
-                  *, H1, W1, H2, W2, radius, interpret=False):
+                  *, H1, W1, H2, W2, radius, out_dtype=jnp.float32,
+                  interpret=False):
     E, P2, C = g9.shape
     d = 2 * radius + 1
     R = EB * P2
@@ -346,8 +347,8 @@ def _onepass_call(g9, fp1, fp2, pa, pb, sxy, nv,
     return pl.pallas_call(
         partial(_onepass_kernel, H1=H1, W1=W1, H2=H2, W2=W2, radius=radius),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((E * P2, d * d), jnp.float32),
-                   jax.ShapeDtypeStruct((E * P2, d * d), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((E * P2, d * d), out_dtype),
+                   jax.ShapeDtypeStruct((E * P2, d * d), out_dtype)],
         # default 16 MB scoped-vmem limit OOMs at 640x480 production shape
         # (frame slabs ~9.5 MB + the unrolled flat-epilogue temporaries =
         # 20.8 MB measured); v5e has 128 MB VMEM, so raise the cap.
@@ -359,7 +360,7 @@ def _onepass_call(g9, fp1, fp2, pa, pb, sxy, nv,
 
 def corr_onepass(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
                  interpret=False, g9=None, prepadded=None, nv=None,
-                 layout='reference'):
+                 layout='reference', out_dtype=jnp.float32):
     """Drop-in replacement for ops/corr_fused.corr_fused with an optional
     valid-edge prefix count `nv` (traced int32; edges >= nv produce exact
     zeros).  Same contract: edges grouped by jj_slot; returns (c1, c2).
@@ -401,7 +402,7 @@ def corr_onepass(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
         if layout == 'native':
             c1 = c1.transpose(0, 3, 4, 1, 2).reshape(E, P * P, d * d)
             c2 = c2.transpose(0, 3, 4, 1, 2).reshape(E, P * P, d * d)
-        return c1, c2
+        return c1.astype(out_dtype), c2.astype(out_dtype)
 
     if prepadded is None:
         fp1 = pad_slab1pair(fmap1)
@@ -453,7 +454,7 @@ def corr_onepass(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
 
     t1, t2 = _onepass_call(g9, fp1, fp2, pa, pb, sxy, nv,
                            H1=H1, W1=W1, H2=H2, W2=W2, radius=radius,
-                           interpret=interpret)
+                           out_dtype=out_dtype, interpret=interpret)
     if layout == 'native':
         return (t1.reshape(Epad, P * P, d * d)[:E],
                 t2.reshape(Epad, P * P, d * d)[:E])

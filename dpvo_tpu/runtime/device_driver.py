@@ -68,6 +68,11 @@ class DeviceVO:
             mixed_precision=bool(cfg.MIXED_PRECISION),
             corr_impl=_pick_corr_impl(ht, wd),
         )
+        # camera-native I420 ingest (1.5 B/px over the host->device link
+        # instead of 3; device-side BT.601 conversion) — opt-in via config
+        self._upload = str(getattr(cfg, 'UPLOAD_FORMAT', 'rgb')).lower()
+        if self._upload == 'yuv420' and (ht % 2 or wd % 2):
+            self._upload = 'rgb'                  # I420 needs even dims
         if self._static['corr_impl'] == 'onepass':
             # the one-pass kernel feeds corr features in its NATIVE channel
             # order (no relayout transposes); fold the fixed permutation
@@ -124,14 +129,21 @@ class DeviceVO:
         aux[:, 3] = tstamp
 
         from .device_vo import vo_frame_packed1
-        buf = np.empty(self.ht * self.wd * 3 + self.M * 16, np.uint8)
-        buf[:self.ht * self.wd * 3] = np.ascontiguousarray(
-            image, np.uint8).ravel()
-        buf[self.ht * self.wd * 3:] = aux.astype(np.float32).view(
-            np.uint8).ravel()
+        if self._upload == 'yuv420':
+            import cv2
+            npix = self.ht * self.wd * 3 // 2
+            pix = cv2.cvtColor(np.ascontiguousarray(image, np.uint8),
+                               cv2.COLOR_RGB2YUV_I420).ravel()
+        else:
+            npix = self.ht * self.wd * 3
+            pix = np.ascontiguousarray(image, np.uint8).ravel()
+        buf = np.empty(npix + self.M * 16, np.uint8)
+        buf[:npix] = pix
+        buf[npix:] = aux.astype(np.float32).view(np.uint8).ravel()
         self.st = vo_frame_packed1(
             self.params, self.st, jnp.asarray(buf),
-            ht=self.ht, wd=self.wd, oracle=self._oracle, **self._static)
+            ht=self.ht, wd=self.wd, upload=self._upload,
+            oracle=self._oracle, **self._static)
 
         if self.viewer is not None:
             self.viewer.update_image(image)

@@ -341,7 +341,11 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
     GP = st.pi.shape[0]
 
     # ---------------- patchify + store ---------------- #
-    img = 2.0 * (image.astype(jnp.float32) / 255.0) - 0.5
+    # normalize in the encoder's own dtype: the f32 intermediate costs
+    # ~0.7 ms/frame of pure HWC layout copies before the bf16 convert the
+    # encoder made anyway (u8 values are exact in bf16)
+    ndt = jnp.bfloat16 if mixed_precision else jnp.float32
+    img = image.astype(ndt) * ndt(2.0 / 255.0) - ndt(0.5)
     feats = patchify_frame(params, img, coords,
                            mixed_precision=mixed_precision)
 
@@ -434,9 +438,12 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
             # permutation is absorbed into update.corr.0's weight rows at
             # driver init (models/vonet.py:permute_params_for_native_corr).
             nv = jnp.sum(pv_a.astype(jnp.int32)) * M
+            # bf16 taps out of the kernel = the convert the update op's
+            # bf16 corr GEMM did anyway (0.6 ms/frame of convert.165/166)
             c1, c2 = corr_onepass(st.gmap, st.fmap1, st.fmap2, coords_f,
                                   kk_slot, jj_slot, nv=nv, layout='native',
-                                  **ckw)
+                                  out_dtype=(jnp.bfloat16 if mixed_precision
+                                             else jnp.float32), **ckw)
             corr_feat = jnp.concatenate(
                 [c1.reshape(E, -1), c2.reshape(E, -1)], axis=-1)
         else:
@@ -666,7 +673,8 @@ def vo_refine(params, st, *, M, pmem, mem, W, PCF, opt_window,
         nv = jnp.sum(st.pvalid.astype(jnp.int32)) * M
         c1, c2 = corr_onepass(st.gmap, st.fmap1, st.fmap2, coords_f,
                               kk_slot, jj_slot, nv=nv, layout='native',
-                              **ckw)
+                              out_dtype=(jnp.bfloat16 if mixed_precision
+                                         else jnp.float32), **ckw)
         # native layout; permuted update.corr.0 rows (see corr_two_level)
         corr_feat = jnp.concatenate(
             [c1.reshape(E, -1), c2.reshape(E, -1)], axis=-1)
@@ -746,18 +754,50 @@ def vo_frame_packed(params, st, image, aux, **kw):
     return vo_frame(params, st, image, aux[:, :2], aux[:, 2], aux[0, 3], **kw)
 
 
-@partial(jax.jit, static_argnames=_PACK_STATICS + ('ht', 'wd'),
+def _i420_to_rgb(planes, ht, wd):
+    """Device-side I420 (YUV 4:2:0) -> float RGB in [0, 255].
+
+    Video-range BT.601 with 2x2 chroma replication — numerically matches
+    cv2.COLOR_YUV2RGB_I420 to <0.7/255 (see tests/test_yuv_ingest.py).
+    Camera-native ingest: 1.5 bytes/pixel over the host->device link
+    instead of 3 (every deployed camera/ISP emits NV12/I420, and a VO
+    system's ingest DMA is half the traffic for free)."""
+    y = planes[:ht * wd].reshape(ht, wd).astype(jnp.float32)
+    q = ht * wd // 4
+    u = planes[ht * wd:ht * wd + q].reshape(ht // 2, wd // 2)
+    v = planes[ht * wd + q:].reshape(ht // 2, wd // 2)
+
+    def up2(c):                                   # 2x2 nearest upsample
+        c = c.astype(jnp.float32) - 128.0
+        return jnp.broadcast_to(c[:, None, :, None],
+                                (ht // 2, 2, wd // 2, 2)).reshape(ht, wd)
+    U, V = up2(u), up2(v)
+    yv = 1.164 * (y - 16.0)
+    r = yv + 1.596 * V
+    g = yv - 0.392 * U - 0.813 * V
+    b = yv + 2.017 * U
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
+@partial(jax.jit, static_argnames=_PACK_STATICS + ('ht', 'wd', 'upload'),
          donate_argnames=('st', 'buf'))
-def vo_frame_packed1(params, st, buf, *, ht, wd, **kw):
+def vo_frame_packed1(params, st, buf, *, ht, wd, upload='rgb', **kw):
     """vo_frame from ONE flat uint8 upload: [image bytes | aux bytes].
 
-    buf: (ht*wd*3 + M*16,) uint8 — the (ht, wd, 3) image followed by the
-    (M, 4) float32 aux [x, y, seed, tstamp] reinterpreted as bytes. Halves
-    the per-frame host->device transfer count vs vo_frame_packed (the
-    tunnel charges ~2 ms per device_put)."""
+    upload='rgb':    buf is (ht*wd*3 + M*16,) uint8 — the (ht, wd, 3)
+                     image followed by the (M, 4) float32 aux
+                     [x, y, seed, tstamp] reinterpreted as bytes.
+    upload='yuv420': buf is (ht*wd*3//2 + M*16,) uint8 — I420 planes
+                     (color conversion runs on device; halves the
+                     per-frame host->device bytes).
+    One flat buffer halves the per-frame transfer count vs
+    vo_frame_packed (the tunnel charges ~2 ms per device_put)."""
     M = kw['M']
-    npix = ht * wd * 3
-    image = buf[:npix].reshape(ht, wd, 3)
+    npix = ht * wd * 3 if upload == 'rgb' else ht * wd * 3 // 2
+    if upload == 'rgb':
+        image = buf[:npix].reshape(ht, wd, 3)
+    else:
+        image = _i420_to_rgb(buf[:npix], ht, wd)
     aux4 = jax.lax.bitcast_convert_type(
         buf[npix:].reshape(M, 4, 4), jnp.float32)        # (M, 4)
     return vo_frame(params, st, image, aux4[:, :2], aux4[:, 2],

@@ -1,0 +1,56 @@
+"""Camera-native I420 ingest: device-side color conversion parity + smoke.
+
+The DeviceVO runtime can take frames as I420 (YUV 4:2:0) planes — 1.5
+bytes/pixel over the host->device link instead of 3 — and reconstruct RGB
+on device (reference ingest: decoded RGB frames, dpvo.py:377; every
+deployed camera/ISP emits NV12/I420 upstream of that decode).
+"""
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip('cv2')
+
+
+def test_i420_to_rgb_matches_cv2():
+    """Device conversion == cv2.COLOR_YUV2RGB_I420 (video-range BT.601)."""
+    import jax.numpy as jnp
+    from dpvo_tpu.runtime.device_vo import _i420_to_rgb
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 255, (48, 64, 3), np.uint8)
+    yuv = cv2.cvtColor(img, cv2.COLOR_RGB2YUV_I420)
+    want = cv2.cvtColor(yuv, cv2.COLOR_YUV2RGB_I420).astype(np.float32)
+
+    got = np.array(_i420_to_rgb(jnp.asarray(yuv.ravel()), 48, 64))
+    # cv2 quantizes to u8 (+-0.5) on top of the shared fixed-point math
+    assert np.abs(got - want).max() < 1.0
+
+
+def test_device_vo_runs_on_yuv_ingest():
+    """DeviceVO with UPLOAD_FORMAT=yuv420 tracks frames to a finite state
+    and stays close to the RGB-ingest run (same weights, same frames)."""
+    from dpvo_tpu.config import cfg as base_cfg
+    from dpvo_tpu.runtime.device_driver import DeviceVO
+
+    rng = np.random.RandomState(0)
+    frames = [cv2.GaussianBlur(
+        rng.randint(0, 255, (64, 96, 3)).astype(np.uint8), (0, 0), 2)
+        for _ in range(4)]
+    intr = np.array([70.0, 70.0, 48.0, 32.0], np.float32)
+
+    poses = {}
+    for fmt in ('rgb', 'yuv420'):
+        cfg = base_cfg.clone()
+        cfg.PATCHES_PER_FRAME = 8
+        cfg.BUFFER_SIZE = 32
+        cfg.UPLOAD_FORMAT = fmt
+        slam = DeviceVO(cfg, None, ht=64, wd=96, seed=0)
+        slam._static['force_accept'] = True
+        for t, f in enumerate(frames):
+            slam(t, f, intr)
+        poses[fmt] = np.array(slam.st.poses[:4])
+        assert np.isfinite(poses[fmt]).all()
+
+    # chroma subsampling perturbs pixels slightly; the state machine and
+    # compute graph are identical, so early poses stay in the same regime
+    assert np.abs(poses['rgb'] - poses['yuv420']).max() < 0.5
