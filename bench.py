@@ -184,7 +184,11 @@ def run_mode(cfg, args, H, W, frames, intr, label):
 
     fps = float(np.median(seg_fps))
     spread = float(np.max(seg_fps) - np.min(seg_fps))
-    return fps, spread, seg_fps, dev_ms
+    # report the runtime's EFFECTIVE ingest format, not the requested one:
+    # DeviceVO silently falls back to rgb on odd dims, and the hybrid
+    # runtime only ingests rgb (ADVICE r3)
+    upload = getattr(slam, '_upload', 'rgb')
+    return fps, spread, seg_fps, dev_ms, upload
 
 
 V5E_PEAK_BF16 = 197e12          # TFLOP/s, single v5e chip
@@ -276,8 +280,8 @@ def main():
     print(f'[bench] backend ready: {platform}', file=sys.stderr)
 
     try:
-        fps, spread, segs, dev_ms = run_mode(cfg, args, H, W, frames, intr,
-                                             'vo')
+        fps, spread, segs, dev_ms, upload_eff = run_mode(
+            cfg, args, H, W, frames, intr, 'vo')
     except Exception as e:
         import traceback
         traceback.print_exc()
@@ -290,8 +294,10 @@ def main():
     if args.with_fast:
         cf = cfg.clone()
         cf.merge_from_file('config/fast.yaml')
+        cf.UPLOAD_FORMAT = args.upload
         try:
-            ff, _, _, fdev = run_mode(cf, args, H, W, frames, intr, 'fast')
+            ff, _, _, fdev, _ = run_mode(cf, args, H, W, frames, intr,
+                                         'fast')
             extra['fast_yaml_fps'] = round(ff, 2)
             if fdev is not None:
                 extra['fast_yaml_ms_device'] = round(fdev, 2)
@@ -303,7 +309,8 @@ def main():
             c2 = cfg.clone()
             setattr(c2, key, True)
             try:
-                f2, _, _, d2 = run_mode(c2, args, H, W, frames, intr, key)
+                f2, _, _, d2, _ = run_mode(c2, args, H, W, frames, intr,
+                                           key)
                 extra[name + '_wall'] = round(f2, 2)
                 if d2 is not None:
                     extra[name.replace('_fps', '_ms_device')] = round(d2, 2)

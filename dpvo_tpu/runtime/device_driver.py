@@ -72,6 +72,8 @@ class DeviceVO:
         # instead of 3; device-side BT.601 conversion) — opt-in via config
         self._upload = str(getattr(cfg, 'UPLOAD_FORMAT', 'rgb')).lower()
         if self._upload == 'yuv420' and (ht % 2 or wd % 2):
+            print(f'WARNING: UPLOAD_FORMAT=yuv420 needs even dims, got '
+                  f'{ht}x{wd}; falling back to rgb ingest')
             self._upload = 'rgb'                  # I420 needs even dims
         if self._static['corr_impl'] == 'onepass':
             # the one-pass kernel feeds corr features in its NATIVE channel

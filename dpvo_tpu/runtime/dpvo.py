@@ -64,6 +64,14 @@ class DPVO:
         self.N = cfg.BUFFER_SIZE
         self.rng = np.random.RandomState(seed)
 
+        # the hybrid runtime ingests RGB only; surface the mismatch instead
+        # of silently measuring rgb while the config claims yuv420 (ADVICE r3)
+        self._upload = 'rgb'
+        if str(getattr(cfg, 'UPLOAD_FORMAT', 'rgb')).lower() == 'yuv420':
+            print('WARNING: UPLOAD_FORMAT=yuv420 is only honored by the '
+                  'device-resident runtime (pure-VO configs); this '
+                  'loop-closure/viz run ingests rgb')
+
         self.load_weights(network)
 
         # windows (static capacities for the BA jit)

@@ -200,8 +200,11 @@ def vonet_forward(params, images, poses_gt, disps_gt, intrinsics, coords,
         # gradients come solely through the BA + trajectory-loss path.
         coords_full = _transform_full(Gs, patch_xy, depth, intr4, ii, jj, kk)
         coords_c = jax.lax.stop_gradient(coords_full)
-        c1 = corr_op(gmap, fmap1, coords_c, kk, jj, radius=3)
-        c2 = corr_op(gmap, fmap2, coords_c / 4.0, kk, jj, radius=3)
+        # chunk=256 caps the transient gathered-window tensor at ~75 MB:
+        # at the unroll's full edge count (~1.8k) a single chunk would be
+        # ~570 MB and the train step OOMs a 16 GB chip (batch 4)
+        c1 = corr_op(gmap, fmap1, coords_c, kk, jj, radius=3, chunk=256)
+        c2 = corr_op(gmap, fmap2, coords_c / 4.0, kk, jj, radius=3, chunk=256)
         corr_feat = jnp.stack([c1, c2], axis=-1).reshape(E, -1)
         if rng is not None and corr_grad_keep < 1.0:
             # backward edge dropout: forward unchanged, gradients to

@@ -38,6 +38,8 @@ def test_device_vo_runs_on_yuv_ingest():
         for _ in range(4)]
     intr = np.array([70.0, 70.0, 48.0, 32.0], np.float32)
 
+    from dpvo_tpu.utils.fetch import fetch
+
     poses = {}
     for fmt in ('rgb', 'yuv420'):
         cfg = base_cfg.clone()
@@ -48,7 +50,9 @@ def test_device_vo_runs_on_yuv_ingest():
         slam._static['force_accept'] = True
         for t, f in enumerate(frames):
             slam(t, f, intr)
-        poses[fmt] = np.array(slam.st.poses[:4])
+        # fetch polls readiness first — materializing a PENDING device
+        # array directly can stall the tunnel for minutes (ADVICE r3)
+        poses[fmt] = np.array(fetch(slam.st.poses[:4]))
         assert np.isfinite(poses[fmt]).all()
 
     # chroma subsampling perturbs pixels slightly; the state machine and
