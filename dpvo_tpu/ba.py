@@ -112,8 +112,19 @@ def _gather_blocks(r, w, Ji, Jj, Jz, ii, jj, kk, t0, patch_base, W, PC):
     # not here). Zero its weight everywhere.
     w = w * vk[:, None].astype(w.dtype)
 
+    # segment_sum lowers to a scatter-add — a SEQUENTIAL while-loop on TPU
+    # (one iteration per edge). When the one-hot matrix fits a modest budget
+    # do the reduction as a (num, E) @ (E, a) MXU matmul instead; exact for
+    # f32 inputs (HIGHEST), and its VJP is a matmul, not a gather. The
+    # budget keeps the hybrid runtime's large (E*W*PC) cases on segment_sum.
     def seg(vals, ids, valid, num):
         ids = jnp.where(valid, ids, num)
+        if E * num <= 8_000_000:
+            oh = (ids[:, None] == jnp.arange(num, dtype=ids.dtype)
+                  ).astype(vals.dtype)
+            flat = vals.reshape(E, -1)
+            out = jnp.matmul(oh.T, flat, precision=_HIGHEST)
+            return out.reshape((num,) + vals.shape[1:])
         return jax.ops.segment_sum(vals, ids, num_segments=num + 1,
                                    indices_are_sorted=False)[:num]
 

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from .. import lie
 from ..ba import _gather_blocks
+from ..ba_pairs import gather_rows
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -28,12 +29,17 @@ def _linearize_train(poses, xy, depth, intrinsics, target, weight,
     """Training-flavor linearization (validity rules of dpvo/ba.py:92-112)."""
     fx, fy, cx, cy = (intrinsics[..., 0], intrinsics[..., 1],
                       intrinsics[..., 2], intrinsics[..., 3])
-    Gij = lie.se3_mul(poses[jj], lie.se3_inv(poses[ii]))
+    # one-hot row selects: TPU gathers (and their scatter-add VJPs) lower
+    # to sequential loops; the pose/patch tables here are tiny vs E edges
+    Gij = lie.se3_mul(gather_rows(poses, jj),
+                      lie.se3_inv(gather_rows(poses, ii)))
     tij = Gij[..., :3]
 
-    xn = (xy[kk, 0] - cx) / fx
-    yn = (xy[kk, 1] - cy) / fy
-    Xi = jnp.stack([xn, yn, jnp.ones_like(xn), depth[kk]], axis=-1)
+    xyk = gather_rows(xy, kk)
+    dk = gather_rows(depth[:, None], kk)[:, 0]
+    xn = (xyk[..., 0] - cx) / fx
+    yn = (xyk[..., 1] - cy) / fy
+    Xi = jnp.stack([xn, yn, jnp.ones_like(xn), dk], axis=-1)
     Xj = lie.se3_act4(Gij, Xi)
     X, Y, Z, H = Xj[..., 0], Xj[..., 1], Xj[..., 2], Xj[..., 3]
 

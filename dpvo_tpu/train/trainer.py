@@ -22,12 +22,18 @@ import numpy as np
 import optax
 
 from .. import lie
+from ..ba_pairs import gather_rows
 from ..models.vonet import DIM, P, patchify_frame, update_op
 from ..ops.corr import corr as corr_op
 from ..ops.patchify import extract_patches
 from .ba import bundle_adjust_train
 
 _HIGHEST = jax.lax.Precision.HIGHEST
+
+# All index tables in the unroll are tiny (T=15 poses, T*M~120 patches) while
+# the edge dim is ~2k: row gathers lower to sequential while-loops on TPU and
+# their VJPs to scatter-adds, so every `table[idx]` on the training path goes
+# through gather_rows (one-hot MXU matmul, exact selection, matmul VJP).
 
 
 # ---------------------------------------------------------------------------
@@ -139,9 +145,10 @@ def vonet_forward(params, images, poses_gt, disps_gt, intrinsics, coords,
 
     def transform_centers(poses, dep, ii, jj, kk):
         fx, fy, cx, cy = intr4[0], intr4[1], intr4[2], intr4[3]
-        Gij = lie.se3_mul(poses[jj], lie.se3_inv(poses[ii]))
-        xy = patch_xy[kk]
-        d = dep[kk][:, None, None]
+        Gij = lie.se3_mul(gather_rows(poses, jj),
+                          lie.se3_inv(gather_rows(poses, ii)))
+        xy = gather_rows(patch_xy, kk)
+        d = gather_rows(dep[:, None], kk)[:, 0][:, None, None]
         xn = (xy[:, 0] - cx) / fx
         yn = (xy[:, 1] - cy) / fy
         X0 = jnp.stack([xn, yn, jnp.ones_like(xn),
@@ -216,7 +223,8 @@ def vonet_forward(params, images, poses_gt, disps_gt, intrinsics, coords,
             corr_feat = sg + keep[:, None] * (corr_feat - sg)
 
         net_prev, delta, weight = update_op(
-            params, net_prev, imap[kk], corr_feat, ix, jx, kk_ids, pair_ids,
+            params, net_prev, gather_rows(imap, kk), corr_feat, ix, jx,
+            kk_ids, pair_ids,
             num_segments=E, edge_mask=live, mixed_precision=mixed_precision)
         weight = weight * live[:, None]
 
@@ -245,13 +253,14 @@ def vonet_forward(params, images, poses_gt, disps_gt, intrinsics, coords,
 def _transform_full(poses, patch_xy, depth, intr4, ii, jj, kk,
                     with_valid=False):
     fx, fy, cx, cy = intr4[0], intr4[1], intr4[2], intr4[3]
-    xy = patch_xy[kk]
-    d = depth[kk][:, None, None]
+    xy = gather_rows(patch_xy, kk)
+    d = gather_rows(depth[:, None], kk)[:, 0][:, None, None]
     xn = (xy[:, 0] - cx) / fx
     yn = (xy[:, 1] - cy) / fy
     X0 = jnp.stack([xn, yn, jnp.ones_like(xn),
                     jnp.broadcast_to(d, xn.shape)], axis=-1)
-    Gij = lie.se3_mul(poses[jj], lie.se3_inv(poses[ii]))
+    Gij = lie.se3_mul(gather_rows(poses, jj),
+                      lie.se3_inv(gather_rows(poses, ii)))
     X1 = lie.se3_act4(Gij[:, None, None, :], X0)
     Z = jnp.maximum(X1[..., 2], 0.1)
     out = jnp.stack([fx * X1[..., 0] / Z + cx,
@@ -322,8 +331,10 @@ def trajectory_loss(traj, poses_gt, flow_weight=0.1, pose_weight=10.0,
             od = iig.ravel() != jjg.ravel()
             iig = jnp.asarray(iig.ravel()[od])
             jjg = jnp.asarray(jjg.ravel()[od])
-            dP = lie.se3_mul(lie.se3_inv(P1[iig]), P1[jjg])
-            dG = lie.se3_mul(lie.se3_inv(P2[iig]), P2[jjg])
+            dP = lie.se3_mul(lie.se3_inv(gather_rows(P1, iig)),
+                             gather_rows(P1, jjg))
+            dG = lie.se3_mul(lie.se3_inv(gather_rows(P2, iig)),
+                             gather_rows(P2, jjg))
             e1 = lie.se3_log(lie.se3_mul(dP, lie.se3_inv(dG)))
             tr = _safe_norm(e1[..., 0:3], axis=-1)
             ro = _safe_norm(e1[..., 3:6], axis=-1)

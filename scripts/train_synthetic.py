@@ -96,6 +96,17 @@ def main():
     args = ap.parse_args()
 
     import jax
+    # persistent compilation cache: re-runs with unchanged shapes skip the
+    # multi-minute XLA compile (best-effort; harmless if the backend
+    # doesn't support it)
+    try:
+        cd = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), '.cache', 'jax')
+        os.makedirs(cd, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cd)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+    except Exception as e:
+        print(f'[train] compilation cache unavailable: {e}')
     import jax.numpy as jnp
     from dpvo_tpu.models.checkpoint import save_params_npz
     from dpvo_tpu.models.vonet import init_vonet_params
