@@ -25,8 +25,8 @@
 
 namespace {
 
-constexpr int kTables = 4;       // independent bit-sample hash tables
-constexpr int kBitsPerWord = 16; // 65536 words per table
+constexpr int kTables = 8;       // independent bit-sample hash tables
+constexpr int kBitsPerWord = 12; // 4096 words per table
 
 // fixed pseudo-random bit positions (deterministic across runs)
 struct WordSampler {
@@ -73,7 +73,13 @@ struct DPR {
   std::unordered_map<uint32_t, std::vector<std::pair<int, float>>> inverted;
   std::unordered_map<uint32_t, int> doc_freq;
 
-  explicit DPR(int rad_) : rad(rad_) { orb = cv::ORB::create(); }
+  explicit DPR(int rad_) : rad(rad_) {
+    // finer scale pyramid than ORB's default (1.2^8): under moderate zoom
+    // a keypoint re-detects closer to its original octave, keeping the
+    // BRIEF pattern footprint — and hence the hashed words — stable
+    orb = cv::ORB::create(/*nfeatures=*/750, /*scaleFactor=*/1.09f,
+                          /*nlevels=*/14);
+  }
 
   void insert(const uint8_t* data, int h, int w) {
     cv::Mat image(h, w, CV_8UC3, const_cast<uint8_t*>(data));
