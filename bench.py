@@ -244,7 +244,9 @@ def main():
                          'ms/frame next to the wall FPS (the SLAM modes '
                          'are tunnel-latency-bound; this separates device '
                          'compute from tunnel roundtrips)')
-    ap.add_argument('--with-fast', action='store_true',
+    ap.add_argument('--no-fast', dest='with_fast', action='store_false',
+                    help='skip the fast.yaml preset measurement')
+    ap.add_argument('--with-fast', action='store_true', default=True,
                     help="also measure the reference's fast.yaml preset")
     ap.add_argument('--upload', choices=['yuv420', 'rgb'], default='yuv420',
                     help='frame ingest format for the DeviceVO runtime. '
@@ -328,7 +330,7 @@ def main():
         'tflops_per_frame': round(flops / 1e12, 4),
         'achieved_tflops': round(flops * fps / 1e12, 2),
         'mfu_pct': round(100.0 * flops * fps / V5E_PEAK_BF16, 2),
-        'upload_format': cfg.UPLOAD_FORMAT,
+        'upload_format': upload_eff,   # runtime's EFFECTIVE ingest format
         **extra,
     }))
 

@@ -79,6 +79,12 @@ cfg = CfgNode(
     # host->device frame ingest: 'rgb' (3 B/px) or 'yuv420' (camera-native
     # I420, 1.5 B/px; BT.601 conversion runs on device — DeviceVO only)
     UPLOAD_FORMAT='rgb',
+    # hybrid-runtime mirror pipelining: how many frames' packed D2H
+    # mirrors may be in flight before the host blocks. 2 takes the tunnel
+    # round-trip off the per-frame critical path (keyframe decisions apply
+    # one frame later; pose/depth inits stay exact — computed on device);
+    # 1 restores the reference's synchronous post-step (dpvo.py:467-473)
+    MIRROR_PIPELINE=2,
     LOOP_CLOSURE=False,
     BACKEND_THRESH=64.0,
     MAX_EDGE_AGE=1000,

@@ -34,8 +34,10 @@ import jax.numpy as jnp
 _DEFAULT_CHUNK = 4096
 # all-matmul path when H*W <= this: covers the 64x96 training regime
 # (fmap1 16x24=384) while excluding runtime pyramids, whose per-chunk
-# frame-select transient (chunk x H*W x C) would not fit VMEM/HBM budgets
-_VOLUME_MAX_HW = 512
+# frame-select transient (chunk x H*W x C) would not fit VMEM/HBM budgets.
+# DPVO_CORR_VOLUME_MAX overrides for A/B bisection (0 = gather path).
+import os as _os
+_VOLUME_MAX_HW = int(_os.environ.get('DPVO_CORR_VOLUME_MAX', 512))
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 

@@ -128,8 +128,18 @@ class DPVO:
         self.targ_inac = np.zeros((0, 2), np.float32)
         self.w_inac = np.zeros((0, 2), np.float32)
 
-        # deferred device operations (fused into the next frame_step)
-        self._deferred = None    # previous frame's (mirror, ns, t0, pb, aw)
+        # deferred device operations (fused into the next frame_step).
+        # MIRROR_PIPELINE=2 keeps up to two frames' packed mirrors in
+        # flight: frame t's dispatch waits only on frame t-2's mirror —
+        # which has had a full frame of wall time to cross the link — so
+        # the per-frame dispatch->readback tunnel round-trip leaves the
+        # critical path. Keyframe decisions consequently apply one frame
+        # later than the reference's synchronous tail; pose/depth inits
+        # stay exact because frame_step computes them on device
+        # (state.py device_init). MIRROR_PIPELINE=1 restores the
+        # reference-synchronous behavior.
+        self._deferred = []      # deque of (mirror, ns, t0, pb, aw)
+        self._pipeline = max(1, int(getattr(cfg, 'MIRROR_PIPELINE', 2)))
         self._pending_kf_k = -1
         self._host_to_dev = np.zeros(0, np.int32)  # edge -> device net row
         # 'onepass' = single-kernel planes+select (ops/corr_onepass.py);
@@ -211,19 +221,26 @@ class DPVO:
         """frame index of every patch slot."""
         return self.kk // self.M  # patches live at frame*M + i
 
-    def _select_coords(self, image_dev):
-        """Patch centroid selection (reference net.py:119-136)."""
+    def _select_coords(self, image):
+        """Patch centroid selection (reference net.py:119-136): RANDOM, or
+        GRADIENT_BIAS — top-M of 3M candidates by pooled gradient magnitude.
+        Host numpy (mirrors device_driver._select_coords): the old device
+        scoring cost a blocking per-frame dispatch->readback round-trip."""
         M = self.M
         h4, w4 = self.ht // RES, self.wd // RES
         if self.cfg.CENTROID_SEL_STRAT == 'GRADIENT_BIAS':
-            from ..models.vonet import image_gradient_scores
             x = self.rng.randint(1, w4 - 1, 3 * M)
             y = self.rng.randint(1, h4 - 1, 3 * M)
-            coords = np.stack([x, y], axis=-1).astype(np.float32)
-            img = 2.0 * (jnp.asarray(image_dev, jnp.float32) / 255.0) - 0.5
-            g = np.asarray(image_gradient_scores(img, jnp.asarray(coords)))
-            top = np.argsort(g)[-M:]
-            return coords[top]
+            gray = np.asarray(image, np.float32).sum(axis=-1)
+            dx = gray[:-1, 1:] - gray[:-1, :-1]
+            dy = gray[1:, :-1] - gray[:-1, :-1]
+            g = np.sqrt(dx ** 2 + dy ** 2)
+            H4, W4 = (g.shape[0] // 4) * 4, (g.shape[1] // 4) * 4
+            g = g[:H4, :W4].reshape(H4 // 4, 4, W4 // 4, 4).mean(axis=(1, 3))
+            score = g[np.clip(y, 0, g.shape[0] - 1),
+                      np.clip(x, 0, g.shape[1] - 1)]
+            top = np.argsort(score)[-M:]
+            return np.stack([x[top], y[top]], -1).astype(np.float32)
         x = self.rng.randint(1, w4 - 1, M)
         y = self.rng.randint(1, h4 - 1, M)
         return np.stack([x, y], axis=-1).astype(np.float32)
@@ -564,6 +581,17 @@ class DPVO:
         m_flow = (self.motionmag(i, j) + self.motionmag(j, i)) / 2
 
         if m_flow < self.cfg.KEYFRAME_THRESH:
+            # a removal renumbers host rows, so (a) any PREVIOUS removal
+            # still deferred must reach the device first (full-sync drains
+            # can decide twice between dispatches), and (b) any in-flight
+            # mirrors — computed against the pre-removal numbering — must
+            # land before the host arrays shift under them. Their skipped
+            # keyframe checks simply re-run at the next frame's drain.
+            if self._pending_kf_k >= 0:
+                self._flush_pending()
+            while self._deferred:
+                self._apply_mirror(*self._deferred.pop(0))
+
             k = self.n - self.cfg.KEYFRAME_INDEX
             t0 = self.tstamps_[k - 1]
             t1 = self.tstamps_[k]
@@ -580,7 +608,6 @@ class DPVO:
 
             # device-side frame compaction is DEFERRED into the next
             # frame_step (kf_k); host mirrors shift immediately
-            assert self._pending_kf_k < 0, 'one keyframe removal per frame'
             self._pending_kf_k = k
 
             # host mirrors
@@ -613,7 +640,11 @@ class DPVO:
 
     def __call__(self, tstamp, image, intrinsics):
         """Track one frame. image: (H, W, 3) uint8 (BGR, like cv2)."""
-        self._drain()
+        # steady state drains one mirror per frame once the pipeline is
+        # full; with MIRROR_PIPELINE=1 this is the reference-synchronous
+        # drain of the immediately preceding frame
+        while len(self._deferred) >= self._pipeline:
+            self._drain_one()
         if self.cfg.CLASSIC_LOOP_CLOSURE and self.long_term_lc:
             self.long_term_lc(image, self.n)
 
@@ -629,20 +660,25 @@ class DPVO:
         self.intr_np = intrinsics / self.RES
 
         image_dev = jnp.asarray(np.ascontiguousarray(image), jnp.uint8)
-        coords = self._select_coords(image_dev)
+        coords = self._select_coords(image)
 
         ns, M = self.n, self.M
         self.tlist.append(tstamp)
         self.tstamps_[ns] = self.counter
 
-        # motion model (reference dpvo.py:410-424)
+        # motion model (reference dpvo.py:410-424). The host computes a
+        # PROVISIONAL init for its own mirror row; once initialized the
+        # device recomputes the same model in-graph from its (fresher)
+        # poses (state.py device_init), so pipelined mirrors never feed a
+        # stale init into BA.
+        self._motion_fac = 1.0
         if ns > 1 and self.cfg.MOTION_MODEL == 'DAMPED_LINEAR':
             P1 = self.poses_np[ns - 1]
             P2 = self.poses_np[ns - 2]
             *_, a, b, c = [1] * 3 + self.tlist
             fac = (c - b) / (b - a) if b != a else 1.0
-            xi = self.cfg.MOTION_DAMPING * fac * \
-                nse3.log(nse3.mul(P1, nse3.inv(P2)))
+            self._motion_fac = self.cfg.MOTION_DAMPING * fac
+            xi = self._motion_fac * nse3.log(nse3.mul(P1, nse3.inv(P2)))
             pose_init = nse3.mul(nse3.exp(xi), P1)
         else:
             pose_init = self.poses_np[max(ns - 1, 0)].copy()
@@ -686,6 +722,7 @@ class DPVO:
 
         if self.cfg.LOOP_CLOSURE:
             if self.n - self.last_global_ba >= self.cfg.GLOBAL_OPT_FREQ:
+                self._drain()        # proximity reads the pose mirrors
                 lii, ljj = self.edges_loop()
                 if len(lii) > 0:
                     self.last_global_ba = self.n
@@ -697,10 +734,16 @@ class DPVO:
         use_global = (self.cfg.LOOP_CLOSURE and
                       (self.ii < self.n - self.cfg.REMOVAL_WINDOW - 1).any()
                       and not self.ran_global_ba[self.n])
+        if use_global:
+            self._drain()            # mirrors must apply in dispatch order
 
+        dev_init = ('damped' if (ns > 1 and
+                                 self.cfg.MOTION_MODEL == 'DAMPED_LINEAR')
+                    else 'last')
         mirror, t0, pb, aw = self._fused_step(
             image_dev, coords, pose_init, depth_init,
-            ns, do_update=True, run_ba=not use_global)
+            ns, do_update=True, run_ba=not use_global,
+            device_init=dev_init, motion_fac=self._motion_fac)
 
         if use_global:
             # global BA syncs anyway: finish this frame's post-step inline
@@ -714,11 +757,11 @@ class DPVO:
                 self.long_term_lc.attempt_loop_closure(self.n)
                 self.long_term_lc.lc_callback()
         else:
-            # steady state: defer the (single) mirror sync to the next
-            # frame's entry; start the D2H now so it overlaps host work
+            # steady state: defer the mirror sync MIRROR_PIPELINE frames;
+            # start the D2H now so it crosses the link during later frames
             if hasattr(mirror, 'copy_to_host_async'):
                 mirror.copy_to_host_async()
-            self._deferred = (mirror, ns, t0, pb, aw)
+            self._deferred.append((mirror, ns, t0, pb, aw))
 
     def _push_viewer_state(self):
         """3D snapshot from the host mirrors — no extra device traffic
@@ -743,7 +786,7 @@ class DPVO:
             np.asarray(clr)[:, [2, 1, 0]], 0, 255).astype(np.uint8)
 
     def _fused_step(self, image_dev, coords, pose_init, depth_init, ns,
-                    do_update, run_ba):
+                    do_update, run_ba, device_init=None, motion_fac=1.0):
         """One frame_step dispatch; updates device buffers + host mirrors."""
         if do_update:
             self._sort_edges()
@@ -777,12 +820,12 @@ class DPVO:
             jnp.asarray(depth_init),
             jnp.int32(ns), jnp.int32(ns % self.pmem), jnp.int32(ns % self.mem),
             jnp.int32(t0), jnp.int32(patch_base),
-            jnp.int32(self._pending_kf_k),
+            jnp.int32(self._pending_kf_k), jnp.float32(motion_fac),
             W=self.W_CAP, PC=self.PC_CAP, iterations=2, run_ba=run_ba,
             do_update=do_update, mixed_precision=self.cfg.MIXED_PRECISION,
             M=self.M, pmem=self.pmem, mem=self.mem,
             corr_mode=self._corr_mode, oracle=self._oracle,
-            gmap_remap=remap)
+            gmap_remap=remap, device_init=device_init)
 
         self._pending_kf_k = -1
         self._host_to_dev = pad_pos.astype(np.int32)
@@ -794,31 +837,34 @@ class DPVO:
         """Unpack the packed mirror vector (ONE D2H) into the host mirrors.
 
         Slice starts are clamped identically on device (state.py frame_step),
-        so row 0 of each window corresponds to the host-computed start."""
+        so row 0 of each window corresponds to the host-computed start.
+        Rows are additionally capped at the DISPATCH-time frame count
+        (ns + 1): under mirror pipelining the host may have appended newer
+        frames whose device rows were still unwritten when this mirror was
+        computed — those lanes hold stale data, not fresher poses."""
         m = fetch(mirror)
         W2 = self.W_CAP + 2
         if apply_windows:
             ps = min(t0, self.N - W2)
-            hi = min(ps + W2, self.n)
+            hi = min(ps + W2, self.n, ns + 1)
             self.poses_np[ps:hi] = m[:W2 * 7].reshape(W2, 7)[:hi - ps]
             ds = min(patch_base, self.N * self.M - self.PC_CAP)
-            self.depth_np[ds:ds + self.PC_CAP] = m[W2 * 7:W2 * 7 + self.PC_CAP]
+            de = min(ds + self.PC_CAP, (ns + 1) * self.M)
+            self.depth_np[ds:de] = m[W2 * 7:W2 * 7 + (de - ds)]
         self._set_colors(ns, m[W2 * 7 + self.PC_CAP:].reshape(self.M, 3))
 
-    def _drain(self):
-        """Finish the previous frame's deferred post-step: materialize its
-        mirror fetch (overlapped with host work since dispatch via
+    def _drain_one(self):
+        """Finish the OLDEST deferred post-step: materialize its mirror
+        fetch (overlapped with host work since dispatch via
         copy_to_host_async) and run keyframing / viewer / classic-LC hooks.
 
-        Order-preserving: everything here still happens before the NEXT
-        frame's edge appends and dispatch, exactly as in the reference's
-        synchronous tail (dpvo.py:467-473) — only the host/device sync point
-        moves, hiding the tunnel's per-sync latency behind the host work of
-        the following frame."""
-        if self._deferred is None:
+        Order-preserving: mirrors apply in dispatch order, and every hook
+        still runs before the frame whose dispatch depends on it — only
+        the host/device sync point moves later, hiding the tunnel's
+        per-sync latency behind subsequent frames' wall time."""
+        if not self._deferred:
             return
-        mirror, ns, t0, patch_base, apply_windows = self._deferred
-        self._deferred = None
+        mirror, ns, t0, patch_base, apply_windows = self._deferred.pop(0)
         self._apply_mirror(mirror, ns, t0, patch_base, apply_windows)
         self.keyframe()
         if self.viewer is not None and self.n % 3 == 0:
@@ -826,6 +872,12 @@ class DPVO:
         if self.cfg.CLASSIC_LOOP_CLOSURE and self.long_term_lc:
             self.long_term_lc.attempt_loop_closure(self.n)
             self.long_term_lc.lc_callback()
+
+    def _drain(self):
+        """Full sync: apply every in-flight mirror (global BA, proximity
+        scheduling, update(), terminate() need fresh host mirrors)."""
+        while self._deferred:
+            self._drain_one()
 
     # ------------------------------------------------------------------ #
     # loop-closure proximity edges (reference patchgraph.py:56-82)

@@ -323,7 +323,7 @@ def _shift_frames_impl(poses, patch_xy, depth, intrinsics, imap_buf, gmap_buf,
 @partial(jax.jit,
          static_argnames=('W', 'PC', 'iterations', 'run_ba', 'do_update',
                           'mixed_precision', 'M', 'pmem', 'mem', 'corr_mode',
-                          'oracle', 'gmap_remap'),
+                          'oracle', 'gmap_remap', 'device_init'),
          donate_argnames=('poses', 'patch_xy', 'depth', 'intrinsics',
                           'imap_buf', 'gmap_buf', 'fmap1_buf', 'fmap2_buf',
                           'net', 'target_buf', 'weight_buf'))
@@ -333,15 +333,24 @@ def frame_step(params, poses, patch_xy, depth, intrinsics,
                image, coords, edge_table,
                pose_init, intr_row, depth_init,
                n, imap_slot, fmap_slot, t0, patch_base, kf_k,
+               motion_fac=np.float32(1.0),
                *, W, PC, iterations=2, run_ba=True, do_update=True,
                mixed_precision=True, M, pmem, mem, corr_mode='fused',
-               oracle=None, gmap_remap=False):
+               oracle=None, gmap_remap=False, device_init=None):
     """ONE dispatch per tracked frame (tunnel-latency optimization).
 
     Fuses, in order: (a) the previous frame's keyframe-removal buffer shift
     (kf_k >= 0), (b) edge-buffer compaction by edge_perm, (c) patchify +
     frame store at slot n, (d) reprojection + correlation + recurrent update
     + windowed BA over the padded edge table.
+
+    device_init: None uses the host-passed pose_init/depth_init (reference
+    dpvo.py:410-431 computed on host mirrors); 'damped' / 'last' compute
+    the motion-model pose init and the median depth init IN-GRAPH from the
+    device-resident state, which is always fresher than any host mirror —
+    this removes the dispatch->readback dependency that serializes the
+    hybrid runtime against the tunnel round-trip (motion_fac carries the
+    host-known timestamp ratio (c-b)/(b-a)).
 
     Returns the updated big buffers (donated-in) plus small host mirrors:
     pose window [t0, t0+W), depth window [patch_base, +PC), and delta.
@@ -362,6 +371,18 @@ def frame_step(params, poses, patch_xy, depth, intrinsics,
         kf_k >= 0, do_shift, no_shift,
         (poses, patch_xy, depth, intrinsics, imap_buf, gmap_buf,
          fmap1_buf, fmap2_buf))
+
+    if device_init is not None:
+        # motion model + depth init from device state (post-shift rows)
+        P1 = jax.lax.dynamic_slice(poses, (n - 1, 0), (1, 7))[0]
+        if device_init == 'damped':
+            P2 = jax.lax.dynamic_slice(poses, (n - 2, 0), (1, 7))[0]
+            xi = motion_fac * lie.se3_log(lie.se3_mul(P1, lie.se3_inv(P2)))
+            pose_init = lie.se3_mul(lie.se3_exp(xi), P1)
+        else:                                   # 'last'
+            pose_init = P1
+        dwin = jax.lax.dynamic_slice(depth, ((n - 3) * M,), (3 * M,))
+        depth_init = jnp.full((M,), jnp.median(dwin), depth.dtype)
 
     # (b) edge-state compaction / append padding
     net = _gather_rows_impl(net, edge_perm)

@@ -157,7 +157,8 @@ def test_fused_step_updates_newest_pose():
             xi = c.MOTION_DAMPING * fac * nse3.log(nse3.mul(P1, nse3.inv(P2)))
             pose_init = nse3.mul(nse3.exp(xi), P1)
             slam(t, img, intr)
-            checked += 1
+            slam._drain()   # mirrors are pipelined (MIRROR_PIPELINE);
+            checked += 1    # sync before reading the host pose mirror
             newest = slam.poses_np[slam.n - 1]
             if not np.allclose(newest, pose_init, atol=1e-7):
                 moved += 1
