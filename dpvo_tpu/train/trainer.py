@@ -97,7 +97,7 @@ def _group_ids(ii, jj, kk):
 def vonet_forward(params, images, poses_gt, disps_gt, intrinsics, coords,
                   depth_init, sched, structure_only=False,
                   mixed_precision=True, rng=None, corr_grad_keep=0.2,
-                  edge_dropout=0.1):
+                  edge_dropout=0.1, gs_init=None):
     """Unrolled trajectory estimation for ONE sequence.
 
     images:    (T, H, W, 3) float32 raw [0, 255]
@@ -140,6 +140,13 @@ def vonet_forward(params, images, poses_gt, disps_gt, intrinsics, coords,
     Gs = jnp.tile(jnp.asarray([0, 0, 0, 0, 0, 0, 1], jnp.float32), (T, 1))
     if structure_only:
         Gs = poses_gt
+    elif gs_init is not None:
+        # pose curriculum (train_synthetic.py): the initial window starts
+        # at a host-supplied perturbation of GT with a ramping noise scale
+        # — the regime the runtime actually operates in (motion-model
+        # inits near truth) — before annealing to the identity init.
+        # Frames introduced later still init from the previous ESTIMATE.
+        Gs = gs_init
 
     intr_rows = jnp.tile(intr4[None], (T, 1))
 
@@ -379,22 +386,22 @@ def make_train_step(optimizer, sched, structure_only=False,
             bf16={k: v.astype(jnp.bfloat16) for k, v in params_f32.items()})
 
         def seq_loss(images, poses_gt, disps, intrinsics, coords, depth_init,
-                     rng=None):
+                     rng=None, gs_init=None):
             traj = vonet_forward(params, images, poses_gt, disps, intrinsics,
                                  coords, depth_init, sched,
                                  structure_only=structure_only,
-                                 mixed_precision=mixed_precision, rng=rng)
+                                 mixed_precision=mixed_precision, rng=rng,
+                                 gs_init=gs_init)
             loss, aux = trajectory_loss(traj, poses_gt,
                                         structure_only=structure_only)
             return loss, aux
 
-        seq_args = (batch['images'], batch['poses_gt'], batch['disps'],
+        seq_args = [batch['images'], batch['poses_gt'], batch['disps'],
                     batch['intrinsics'], batch['coords'],
-                    batch['depth_init'])
-        if 'rng' in batch:   # per-sequence PRNG keys enable dropout
-            losses, aux = jax.vmap(seq_loss)(*seq_args, batch['rng'])
-        else:
-            losses, aux = jax.vmap(seq_loss)(*seq_args)
+                    batch['depth_init'],
+                    batch.get('rng'), batch.get('gs_init')]
+        in_axes = [0 if a is not None else None for a in seq_args]
+        losses, aux = jax.vmap(seq_loss, in_axes=in_axes)(*seq_args)
         return losses.mean(), aux
 
     def step(params, opt_state, batch):

@@ -80,6 +80,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--steps', type=int, default=2000)
     ap.add_argument('--structure-steps', type=int, default=400)
+    ap.add_argument('--noise-steps', type=int, default=0,
+                    help='pose-curriculum phase length AFTER the structure '
+                    'phase: the unroll initializes its first window at '
+                    'noisy-GT poses with noise ramping 0 -> --noise-max '
+                    '(the near-truth init regime the runtime operates in) '
+                    'before the final identity-init phase')
+    ap.add_argument('--noise-max', type=float, default=0.35)
     ap.add_argument('--lr', type=float, default=3e-4)
     ap.add_argument('--batch', type=int, default=4)
     ap.add_argument('--pool', type=int, default=32)
@@ -89,6 +96,12 @@ def main():
     ap.add_argument('--W', type=int, default=96)
     ap.add_argument('--unroll', type=int, default=14)
     ap.add_argument('--motion-step', type=float, default=0.12)
+    ap.add_argument('--val-every', type=int, default=500,
+                    help='run the full-runtime ATE on validation scenes '
+                    'every K steps and keep the BEST checkpoint (long runs '
+                    'can drift past their best weights; selecting on a '
+                    'val sequence makes training length monotone-safe)')
+    ap.add_argument('--val-seeds', type=int, nargs='+', default=[800, 801])
     ap.add_argument('--out', default='artifacts')
     ap.add_argument('--resume', default=None,
                     help='continue from a saved .npz instead of fresh init')
@@ -117,6 +130,8 @@ def main():
     npz_path = os.path.join(args.out, 'micro_vonet.npz')
     json_path = os.path.join(args.out, 'synthetic_ate.json')
 
+    from dpvo_tpu.data_readers.synthetic import make_sequence
+
     if not args.eval_only:
         print(f'[train] backend={jax.default_backend()} '
               f'pool={args.pool} B={args.batch} T={args.T} M={args.M} '
@@ -143,26 +158,65 @@ def main():
         step_full = make_train_step(opt, sched, structure_only=False,
                                     mixed_precision=False)
 
+        val_seqs = [make_sequence(s, T=30, H=args.H, W=args.W,
+                                  step=args.motion_step)
+                    for s in args.val_seeds]
+        tmp_npz = npz_path + '.tmp.npz'
+
+        def val_ate(ps):
+            save_params_npz({k: np.asarray(v) for k, v in ps.items()},
+                            tmp_npz)
+            return float(np.mean([run_vo_ate(tmp_npz, sq)[0]
+                                  for sq in val_seqs]))
+
+        best = (np.inf, -1)
         rng = np.random.RandomState(0)
         t0 = time.time()
+        from dpvo_tpu.runtime import numpy_se3 as nse3
+        s1 = args.structure_steps
+        s2 = s1 + args.noise_steps
         for it in range(args.steps):
             idx = rng.choice(len(seqs), args.batch, replace=False)
             batch = assemble_batch(seqs, idx, rng, args.M)
+            if s1 <= it < s2:
+                # pose curriculum: first-window init = GT * exp(noise),
+                # noise ramping up over the phase (rotation at half the
+                # translation scale)
+                sig = args.noise_max * (it - s1 + 1) / max(s2 - s1, 1)
+                gt = batch['poses_gt']                       # (B, T, 7) w2c
+                B, T = gt.shape[:2]
+                xi = rng.randn(B, T, 6).astype(np.float32) * sig
+                xi[..., 3:] *= 0.5
+                batch['gs_init'] = nse3.mul(
+                    gt.reshape(-1, 7),
+                    nse3.exp(xi.reshape(-1, 6))).reshape(B, T, 7)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            fn = step_so if it < args.structure_steps else step_full
+            fn = step_so if it < s1 else step_full
             params, opt_state, loss, aux = fn(params, opt_state, batch)
             if it % 50 == 0 or it == args.steps - 1:
+                ax = {k: float(v.mean()) for k, v in aux.items()}
                 print(f'[train] it={it:5d} loss={float(loss):9.4f} '
-                      f'({(time.time()-t0):.0f}s)', flush=True)
-            if it and it % 200 == 0:
-                save_params_npz({k: np.asarray(v)
-                                 for k, v in params.items()}, npz_path)
-        save_params_npz({k: np.asarray(v) for k, v in params.items()},
-                        npz_path)
-        print(f'[train] saved {npz_path}')
+                      + ' '.join(f'{k}={v:.4f}' for k, v in sorted(ax.items()))
+                      + f' ({(time.time()-t0):.0f}s)', flush=True)
+            last = it == args.steps - 1
+            if args.val_every and it >= args.structure_steps and (
+                    (it - args.structure_steps) % args.val_every == 0 or last):
+                v = val_ate(params)
+                if v < best[0]:
+                    best = (v, it)
+                    save_params_npz({k: np.asarray(v2)
+                                     for k, v2 in params.items()}, npz_path)
+                print(f'[val] it={it:5d} ate={v:.4f} '
+                      f'best={best[0]:.4f}@{best[1]}', flush=True)
+        if not np.isfinite(best[0]):     # val disabled: keep final weights
+            save_params_npz({k: np.asarray(v) for k, v in params.items()},
+                            npz_path)
+        if os.path.exists(tmp_npz):
+            os.remove(tmp_npz)
+        print(f'[train] saved {npz_path} (best val ATE '
+              f'{best[0]:.4f} at it={best[1]})')
 
     # ---- held-out evaluation: trained vs random weights ----
-    from dpvo_tpu.data_readers.synthetic import make_sequence
     results = {}
     for name, net in (('trained', npz_path), ('random', None)):
         errs, paths = [], []
