@@ -234,6 +234,8 @@ def main():
     results['ate_trained_mean'] = float(np.mean(results['ate_trained']))
     results['ate_random_mean'] = float(np.mean(results['ate_random']))
     results['steps'] = args.steps
+    results['config'] = {k: v for k, v in vars(args).items()
+                         if k not in ('out', 'resume', 'eval_only')}
     with open(json_path, 'w') as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
