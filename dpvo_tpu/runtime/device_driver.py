@@ -14,6 +14,7 @@ from ..models.vonet import DIM, P, RES, VONetParams, init_vonet_params
 from ..models.checkpoint import load_network
 from . import numpy_se3 as nse3
 from ..utils.fetch import fetch
+from .centroid import select_coords
 from .device_vo import init_state, vo_frame, _gp_cap
 
 
@@ -159,24 +160,8 @@ class DeviceVO:
         GRADIENT_BIAS — top-M of 3M candidates by pooled gradient magnitude
         (host numpy; mirrors HybridVO._select_coords without a device
         roundtrip)."""
-        M = self.M
-        h4, w4 = self.ht // RES, self.wd // RES
-        if self.cfg.CENTROID_SEL_STRAT == 'GRADIENT_BIAS':
-            x = self.rng.randint(1, w4 - 1, 3 * M)
-            y = self.rng.randint(1, h4 - 1, 3 * M)
-            gray = np.asarray(image, np.float32).sum(axis=-1)
-            dx = gray[:-1, 1:] - gray[:-1, :-1]
-            dy = gray[1:, :-1] - gray[:-1, :-1]
-            g = np.sqrt(dx ** 2 + dy ** 2)
-            H4, W4 = (g.shape[0] // 4) * 4, (g.shape[1] // 4) * 4
-            g = g[:H4, :W4].reshape(H4 // 4, 4, W4 // 4, 4).mean(axis=(1, 3))
-            score = g[np.clip(y, 0, g.shape[0] - 1),
-                      np.clip(x, 0, g.shape[1] - 1)]
-            top = np.argsort(score)[-M:]
-            return np.stack([x[top], y[top]], -1).astype(np.float32)
-        x = self.rng.randint(1, w4 - 1, M)
-        y = self.rng.randint(1, h4 - 1, M)
-        return np.stack([x, y], axis=-1).astype(np.float32)
+        return select_coords(self.cfg, self.rng, image, self.M,
+                             self.ht // RES, self.wd // RES)
 
     def track_frames(self, tstamps, images, intrinsics):
         """Track a chunk of frames in ONE dispatch (device_vo.vo_frames).

@@ -224,26 +224,12 @@ class DPVO:
     def _select_coords(self, image):
         """Patch centroid selection (reference net.py:119-136): RANDOM, or
         GRADIENT_BIAS — top-M of 3M candidates by pooled gradient magnitude.
-        Host numpy (mirrors device_driver._select_coords): the old device
-        scoring cost a blocking per-frame dispatch->readback round-trip."""
-        M = self.M
-        h4, w4 = self.ht // RES, self.wd // RES
-        if self.cfg.CENTROID_SEL_STRAT == 'GRADIENT_BIAS':
-            x = self.rng.randint(1, w4 - 1, 3 * M)
-            y = self.rng.randint(1, h4 - 1, 3 * M)
-            gray = np.asarray(image, np.float32).sum(axis=-1)
-            dx = gray[:-1, 1:] - gray[:-1, :-1]
-            dy = gray[1:, :-1] - gray[:-1, :-1]
-            g = np.sqrt(dx ** 2 + dy ** 2)
-            H4, W4 = (g.shape[0] // 4) * 4, (g.shape[1] // 4) * 4
-            g = g[:H4, :W4].reshape(H4 // 4, 4, W4 // 4, 4).mean(axis=(1, 3))
-            score = g[np.clip(y, 0, g.shape[0] - 1),
-                      np.clip(x, 0, g.shape[1] - 1)]
-            top = np.argsort(score)[-M:]
-            return np.stack([x[top], y[top]], -1).astype(np.float32)
-        x = self.rng.randint(1, w4 - 1, M)
-        y = self.rng.randint(1, h4 - 1, M)
-        return np.stack([x, y], axis=-1).astype(np.float32)
+        Host numpy, candidate-windows-only scoring (runtime/centroid.py):
+        the old device scoring cost a blocking per-frame dispatch->readback
+        round-trip, and full-image scoring cost ~15 ms of host time."""
+        from .centroid import select_coords
+        return select_coords(self.cfg, self.rng, image, self.M,
+                             self.ht // RES, self.wd // RES)
 
     def _edge_table(self, ii, jj, kk):
         """Pack the padded (12, E) int32 edge table + mask (host-side).

@@ -24,9 +24,15 @@ import time
 import numpy as np
 
 
-def build_batch_pool(n_seqs, T, M, H, W, step, seed0=100):
+def build_batch_pool(n_seqs, T, M, H, W, step, seed0=100, loop_frac=0.0):
+    """loop_frac > 0 renders that fraction of scenes with out-and-back
+    (reversal) trajectories: forward-only pools leave direction reversals
+    out of distribution and the net drifts badly on revisit sequences
+    (the DPV-SLAM loop-closure regime)."""
     from dpvo_tpu.data_readers.synthetic import make_sequence
-    seqs = [make_sequence(seed0 + i, T=T, H=H, W=W, step=step)
+    every = max(int(round(1.0 / loop_frac)), 1) if loop_frac > 0 else 0
+    seqs = [make_sequence(seed0 + i, T=T, H=H, W=W, step=step,
+                          loop=bool(every and i % every == 1))
             for i in range(n_seqs)]
     return seqs
 
@@ -87,6 +93,9 @@ def main():
                     '(the near-truth init regime the runtime operates in) '
                     'before the final identity-init phase')
     ap.add_argument('--noise-max', type=float, default=0.35)
+    ap.add_argument('--loop-frac', type=float, default=0.0,
+                    help='fraction of training scenes rendered with '
+                    'out-and-back (reversal) trajectories')
     ap.add_argument('--lr', type=float, default=3e-4)
     ap.add_argument('--batch', type=int, default=4)
     ap.add_argument('--pool', type=int, default=32)
@@ -138,7 +147,7 @@ def main():
               f'{args.H}x{args.W} unroll={args.unroll}')
         t0 = time.time()
         seqs = build_batch_pool(args.pool, args.T, args.M, args.H, args.W,
-                                args.motion_step)
+                                args.motion_step, loop_frac=args.loop_frac)
         print(f'[train] rendered {args.pool} seqs in {time.time()-t0:.1f}s')
 
         sched = edge_schedule(args.T, args.M, args.unroll)
@@ -161,6 +170,12 @@ def main():
         val_seqs = [make_sequence(s, T=30, H=args.H, W=args.W,
                                   step=args.motion_step)
                     for s in args.val_seeds]
+        if args.loop_frac > 0:
+            # selection must see the reversal regime too (test_dpv_slam's
+            # loop sequence), or best-checkpoint picking optimizes away
+            # exactly what loop training adds
+            val_seqs.append(make_sequence(820, T=40, H=args.H, W=args.W,
+                                          step=args.motion_step, loop=True))
         tmp_npz = npz_path + '.tmp.npz'
 
         def val_ate(ps):
