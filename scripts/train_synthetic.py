@@ -181,8 +181,10 @@ def main():
         def val_ate(ps):
             save_params_npz({k: np.asarray(v) for k, v in ps.items()},
                             tmp_npz)
-            return float(np.mean([run_vo_ate(tmp_npz, sq)[0]
-                                  for sq in val_seqs]))
+            ates = [run_vo_ate(tmp_npz, sq)[0] for sq in val_seqs]
+            print('[val]   per-seq: '
+                  + ' '.join(f'{a:.4f}' for a in ates), flush=True)
+            return float(np.mean(ates))
 
         best = (np.inf, -1)
         rng = np.random.RandomState(0)
