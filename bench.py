@@ -87,11 +87,14 @@ def force_completion(slam):
 
 
 def device_busy_ms(tracedir):
-    """Sum device-lane busy time from a jax.profiler Chrome trace.
+    """Device-lane busy time from a jax.profiler Chrome trace.
 
     Returns {tid_name: busy_ms} for trace lanes that look like device
     compute/DMA queues (the axon tunnel hides completion from host walls,
-    so device time must come from the profiler, not timers)."""
+    so device time must come from the profiler, not timers).  Busy time is
+    the UNION length of each lane's event intervals — lanes carry nested
+    events (jit_fn > while > kernel), so summing durations double-counts
+    (measured: 32 ms/frame summed vs 17.8 ms true outer span)."""
     import glob
     import gzip
 
@@ -108,7 +111,7 @@ def device_busy_ms(tracedir):
             names[(e['pid'], e['tid'])] = e['args']['name']
         if e.get('ph') == 'M' and e.get('name') == 'process_name':
             names[(e['pid'], None)] = e['args']['name']
-    busy = {}
+    spans = {}
     for e in events:
         if e.get('ph') != 'X':
             continue
@@ -117,7 +120,21 @@ def device_busy_ms(tracedir):
             continue
         tname = names.get((e['pid'], e['tid']), str(e['tid']))
         key = f'{pname}/{tname}'
-        busy[key] = busy.get(key, 0.0) + e.get('dur', 0) / 1e3
+        ts = e.get('ts', 0)
+        spans.setdefault(key, []).append((ts, ts + e.get('dur', 0)))
+    busy = {}
+    for key, iv in spans.items():
+        iv.sort()
+        total = 0.0
+        cur_lo, cur_hi = iv[0]
+        for lo, hi in iv[1:]:
+            if lo > cur_hi:
+                total += cur_hi - cur_lo
+                cur_lo, cur_hi = lo, hi
+            else:
+                cur_hi = max(cur_hi, hi)
+        total += cur_hi - cur_lo
+        busy[key] = total / 1e3
     return busy
 
 
