@@ -43,9 +43,16 @@ def gather_rows(buf, idx, onehot_max_rows=8192):
 
 
 def pair_centers(centers, pi, M):
-    """Gather per-pair patch-center blocks: (GP, M, 2)."""
-    NF = centers.shape[0] // M
-    return gather_rows(centers.reshape(NF, M, 2), jnp.maximum(pi, 0))
+    """Gather per-pair patch-center blocks: (GP, M, 2).
+
+    centers is stored FRAME-MAJOR as (NF, 2*M) rows (the (M, 2) block
+    flattened m-major): row storage keeps every consumer a plain row
+    gather/slice.  The old (NF*M, 2) storage made XLA materialize
+    (NF*M,2)<->(NF,2M) relayout copies around this one-hot gather and the
+    state-update slices (~1.1 ms/frame at the 640x480 default, profiler
+    reshape.3865/3710 + copy.1031/1071)."""
+    return gather_rows(centers, jnp.maximum(pi, 0)).reshape(
+        pi.shape[0], M, 2)
 
 
 def pair_depth(depth, pi, M):
@@ -113,7 +120,8 @@ def bundle_adjust_pairs(poses, centers, depth, intr, target, weight, lmbda,
                         *, M, W, PCF, iterations=2):
     """Windowed GN over a pair-blocked edge table.
 
-    poses (N,7); centers (N*M,2); depth (N*M,); intr (4,);
+    poses (N,7); centers (N,2*M) frame-major (see pair_centers);
+    depth (N*M,); intr (4,);
     target/weight (GP, M, 2); pi/pj (GP,) frame ids; pvalid (GP,) bool;
     t0/t1 pose window [t0, t1); fbase: first patch FRAME of the optimized
     patch window (PCF frames). Static: M, W (pose slots), PCF (patch frames).

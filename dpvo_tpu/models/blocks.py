@@ -97,12 +97,20 @@ def soft_agg_ij_pairs(params, prefix, x3, mask3):
     flat = x3.reshape(GP * M, D)
     fx, gx = linear2(params, prefix + '.f', prefix + '.g', flat)
     fx = fx.reshape(GP, M, D)
-    gx = gx.astype(jnp.float32).reshape(GP, M, D)
-    neg = jnp.float32(-1e30)
-    gxm = jnp.where(mask3[..., None], gx, neg)
-    w = jax.nn.softmax(gxm, axis=1)
-    w = jnp.where(mask3[..., None], w, 0.0)
-    y = (fx.astype(jnp.float32) * w).sum(axis=1)              # (GP, D)
+    # softmax in the edge dtype (bf16 under MIXED_PRECISION, like the
+    # reference's autocast-half scatter_softmax, net.py:87-88): max-
+    # subtracted exp args are <= 0, so bf16 is stable; the M-axis SUM
+    # accumulates in f32. Halves the (GP, M, D) softmax traffic
+    # (~0.4 ms/frame at the 640x480 default).
+    dt = x3.dtype
+    gx = gx.astype(dt).reshape(GP, M, D)
+    gxm = jnp.where(mask3[..., None], gx, -jnp.inf)
+    mx = jnp.max(gxm, axis=1, keepdims=True)
+    ex = jnp.exp(gxm - jnp.where(jnp.isfinite(mx), mx, 0.0))
+    ex = jnp.where(mask3[..., None], ex, 0.0)
+    den = jnp.sum(ex, axis=1, keepdims=True, dtype=jnp.float32)
+    w = ex / jnp.maximum(den, 1e-30).astype(dt)
+    y = (fx * w).sum(axis=1, dtype=jnp.float32)               # (GP, D)
     hy = linear(params, prefix + '.h', y.astype(x3.dtype))
     return jnp.broadcast_to(hy[:, None], (GP, M, D)).reshape(GP * M, D)
 
@@ -121,19 +129,24 @@ def soft_agg_kk_pairs(params, prefix, x3, psl, mask3, num_slots):
     flat = x3.reshape(GP * M, D)
     fx, gx = linear2(params, prefix + '.f', prefix + '.g', flat)
     fx = fx.reshape(GP, M, D)
-    gx = gx.astype(jnp.float32).reshape(GP, M, D)
-    neg = jnp.float32(-1e30)
+    # softmax in the edge dtype (bf16 under MIXED_PRECISION — the
+    # reference autocasts its scatter_softmax to half, net.py:87-88);
+    # the slot-level max/sum ACCUMULATORS stay f32 (they are only
+    # (num_slots, M, D), ~14x smaller than the edge tensors)
+    dt = x3.dtype
+    gx = gx.astype(dt).reshape(GP, M, D)
+    neg = jnp.asarray(-1e30, dt)              # representable in bf16
     gxm = jnp.where(mask3[..., None], gx, neg)
 
     mx = jnp.full((num_slots, M, D), neg).at[psl].max(gxm, mode='drop')
     ex = jnp.exp(gxm - mx[psl])
     ex = jnp.where(mask3[..., None], ex, 0.0)
     den = jnp.zeros((num_slots, M, D), jnp.float32).at[psl].add(
-        ex, mode='drop')
-    w = ex / jnp.maximum(den[psl], 1e-30)
+        ex.astype(jnp.float32), mode='drop')
+    w = ex / jnp.maximum(den[psl], 1e-30).astype(dt)
 
     y = jnp.zeros((num_slots, M, D), jnp.float32).at[psl].add(
-        fx.astype(jnp.float32) * w, mode='drop')
+        (fx * w).astype(jnp.float32), mode='drop')
     hy = linear(params, prefix + '.h',
                 y.reshape(num_slots * M, D).astype(x3.dtype))
     return hy.reshape(num_slots, M, D)[psl].reshape(GP * M, D)

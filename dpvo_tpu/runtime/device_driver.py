@@ -259,7 +259,7 @@ class DeviceVO:
         st = self.st
         n = int(fetch(st.n))
         m = n * self.M
-        centers = fetch(st.centers[:m])
+        centers = fetch(st.centers[:n]).reshape(-1, 2)
         depth = fetch(st.depth[:m])
         poses = fetch(st.poses)
         intr = fetch(st.intr)

@@ -42,7 +42,7 @@ CNT_CAP = 16384     # max input frames per sequence
 @dataclass
 class VOState:
     poses: jnp.ndarray        # (N, 7)
-    centers: jnp.ndarray      # (N*M, 2)
+    centers: jnp.ndarray      # (N, 2*M) frame-major, (M,2) blocks flattened
     depth: jnp.ndarray        # (N*M,)
     colors: jnp.ndarray       # (N, M, 3) f32
     imap: jnp.ndarray         # (pmem*M, DIM) bf16
@@ -103,7 +103,9 @@ def init_state(cfg, ht, wd, intrinsics, corr_impl='fused'):
     return VOState(
         poses=jnp.tile(jnp.asarray([0, 0, 0, 0, 0, 0, 1.0], jnp.float32),
                        (N, 1)),
-        centers=jnp.zeros((N * M, 2), jnp.float32),
+        # frame-major rows: the old (N*M, 2) storage cost ~1.1 ms/frame of
+        # XLA relayout copies around the pair gathers / state updates
+        centers=jnp.zeros((N, 2 * M), jnp.float32),
         depth=jnp.ones((N * M,), jnp.float32),
         colors=jnp.zeros((N, M, 3), jnp.float32),
         imap=jnp.zeros((pmem * M, DIM), f16),
@@ -155,7 +157,7 @@ def _center_flow(poses, centers, depth, intr, i, j, M, beta=0.5):
     """Mean blended flow magnitude of frame i's patch centers into frame j
     (reference pops.flow_mag at the keyframe test, dpvo.py:257-264)."""
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
-    c = jax.lax.dynamic_slice(centers, (i * M, 0), (M, 2))
+    c = jax.lax.dynamic_slice(centers, (i, 0), (1, 2 * M)).reshape(M, 2)
     d = jax.lax.dynamic_slice(depth, (i * M,), (M,))
     xn = (c[:, 0] - cx) / fx
     yn = (c[:, 1] - cy) / fy
@@ -251,7 +253,7 @@ def _shift_frames(st, k, n, M, pmem, mem):
     st.poses = shift_rows(st.poses, k, n - 1)
     st.tstamps = shift_rows(st.tstamps, k, n - 1)
     st.colors = shift_rows(st.colors, k, n - 1)
-    st.centers = shift_rows(st.centers, k * M, (n - 1) * M)
+    st.centers = shift_rows(st.centers, k, n - 1)
     st.depth = shift_rows(st.depth, k * M, (n - 1) * M)
     # feature buffers (imap/gmap/fmap1/fmap2) stay PUT: the fslot
     # indirection map shifts instead (slots follow their frames)
@@ -310,8 +312,9 @@ def _call_oracle(oracle, st, poses, depth, M, GP):
     ii_e = jnp.repeat(st.tstamps[st.pi].astype(jnp.int32), M)
     jj_e = jnp.repeat(st.tstamps[st.pj].astype(jnp.int32), M)
     kk_e = (st.pi[:, None] * M + marange[None, :]).reshape(GP * M)
-    patch_xy = jnp.broadcast_to(st.centers[:, :, None, None],
-                                st.centers.shape + (P, P))
+    cent = st.centers.reshape(-1, 2)            # (N*M, 2) edge-granular view
+    patch_xy = jnp.broadcast_to(cent[:, :, None, None],
+                                cent.shape + (P, P))
     intr_b = jnp.broadcast_to(st.intr[None, :], (st.poses.shape[0], 4))
     return oracle(poses, patch_xy, depth, intr_b, ii_e, jj_e, kk_e)
 
@@ -373,9 +376,8 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
     depth_init = jnp.where(st.is_init, jnp.full((M,), med), depth_seed)
 
     st.poses = jax.lax.dynamic_update_slice(st.poses, pose_init[None], (n, 0))
-    st.centers = jax.lax.dynamic_update_slice(st.centers,
-                                              feats['patch_xy'][:, :, 1, 1],
-                                              (n * M, 0))
+    st.centers = jax.lax.dynamic_update_slice(
+        st.centers, feats['patch_xy'][:, :, 1, 1].reshape(1, 2 * M), (n, 0))
     st.depth = jax.lax.dynamic_update_slice(st.depth, depth_init, (n * M,))
     st.colors = jax.lax.dynamic_update_slice(
         st.colors, feats['clr'][None], (n, 0, 0))

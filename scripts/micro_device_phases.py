@@ -57,9 +57,10 @@ pi, pj = jnp.asarray(pi_np), jnp.asarray(pj_np)
 
 poses = jnp.tile(jnp.asarray([0, 0, 0, 0, 0, 0, 1.0], jnp.float32),
                  (cfg.BUFFER_SIZE, 1))
-centers = jnp.asarray(
+centers = jnp.asarray(                  # frame-major (N, 2M) rows
     np.stack([rng.uniform(8, W4 - 8, cfg.BUFFER_SIZE * M),
-              rng.uniform(8, H4 - 8, cfg.BUFFER_SIZE * M)], -1), jnp.float32)
+              rng.uniform(8, H4 - 8, cfg.BUFFER_SIZE * M)],
+             -1).reshape(cfg.BUFFER_SIZE, 2 * M), jnp.float32)
 depth = jnp.asarray(rng.uniform(0.3, 2.0, (cfg.BUFFER_SIZE * M,)), jnp.float32)
 intr = jnp.asarray([W * 0.73, W * 0.73, W / 2, H / 2], jnp.float32)
 

@@ -67,8 +67,8 @@ def test_ba_pairs_nan_target_zero_update():
     intr = jnp.asarray([100.0, 100.0, 64.0, 48.0])
     poses0 = np.asarray(lie.se3_exp(jnp.asarray(
         rng.randn(n_frames, 6).astype(np.float32) * 0.05)))
-    centers = jnp.asarray(
-        rng.uniform(20, 100, (n_frames * M, 2)).astype(np.float32))
+    centers = jnp.asarray(            # frame-major (N, 2M), see pair_centers
+        rng.uniform(20, 100, (n_frames, 2 * M)).astype(np.float32))
     depth0 = jnp.asarray(rng.uniform(0.4, 1.2, n_frames * M).astype(np.float32))
 
     pi = np.array([0, 1, 2, 3, 4], np.int32)
