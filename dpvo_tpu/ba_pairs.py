@@ -221,4 +221,10 @@ def bundle_adjust_pairs(poses, centers, depth, intr, target, weight, lmbda,
 
         return poses, depth
 
-    return jax.lax.fori_loop(0, iterations, step, (poses, depth))
+    # iterations is STATIC: unroll instead of lax.fori_loop — the XLA
+    # while op blocks cross-iteration fusion and adds loop overhead for
+    # what is always 2 GN steps here
+    state = (poses, depth)
+    for it in range(iterations):
+        state = step(it, state)
+    return state
