@@ -262,9 +262,9 @@ def main():
                          'are tunnel-latency-bound; this separates device '
                          'compute from tunnel roundtrips)')
     ap.add_argument('--no-fast', dest='with_fast', action='store_false',
-                    help='skip the fast.yaml preset measurement')
-    ap.add_argument('--with-fast', action='store_true', default=True,
-                    help="also measure the reference's fast.yaml preset")
+                    default=True,
+                    help="skip the fast.yaml preset measurement "
+                         "(measured by default)")
     ap.add_argument('--upload', choices=['yuv420', 'rgb'], default='yuv420',
                     help='frame ingest format for the DeviceVO runtime. '
                          'yuv420 (default) = camera-native I420 at 1.5 '
@@ -327,6 +327,9 @@ def main():
                           ('CLASSIC_LOOP_CLOSURE', 'slam_classic_fps')):
             c2 = cfg.clone()
             setattr(c2, key, True)
+            # opt into deferred mirrors for throughput measurement (the
+            # config default is the reference-synchronous 1)
+            c2.MIRROR_PIPELINE = 2
             try:
                 f2, _, _, d2, _ = run_mode(c2, args, H, W, frames, intr,
                                            key)

@@ -80,11 +80,13 @@ cfg = CfgNode(
     # I420, 1.5 B/px; BT.601 conversion runs on device — DeviceVO only)
     UPLOAD_FORMAT='rgb',
     # hybrid-runtime mirror pipelining: how many frames' packed D2H
-    # mirrors may be in flight before the host blocks. 2 takes the tunnel
-    # round-trip off the per-frame critical path (keyframe decisions apply
-    # one frame later; pose/depth inits stay exact — computed on device);
-    # 1 restores the reference's synchronous post-step (dpvo.py:467-473)
-    MIRROR_PIPELINE=2,
+    # mirrors may be in flight before the host blocks. 1 (default) is the
+    # reference's synchronous post-step (dpvo.py:467-473): keyframe
+    # decisions and host pose/depth mirrors update every frame. 2 takes
+    # the tunnel round-trip off the per-frame critical path (keyframe
+    # decisions apply one frame later; pose/depth inits stay exact —
+    # computed on device); the bench's SLAM modes opt into 2.
+    MIRROR_PIPELINE=1,
     LOOP_CLOSURE=False,
     BACKEND_THRESH=64.0,
     MAX_EDGE_AGE=1000,

@@ -136,10 +136,10 @@ class DPVO:
         # critical path. Keyframe decisions consequently apply one frame
         # later than the reference's synchronous tail; pose/depth inits
         # stay exact because frame_step computes them on device
-        # (state.py device_init). MIRROR_PIPELINE=1 restores the
-        # reference-synchronous behavior.
+        # (state.py device_init). MIRROR_PIPELINE=1 (the config default)
+        # is the reference-synchronous behavior; the bench opts into 2.
         self._deferred = []      # deque of (mirror, ns, t0, pb, aw)
-        self._pipeline = max(1, int(getattr(cfg, 'MIRROR_PIPELINE', 2)))
+        self._pipeline = max(1, int(getattr(cfg, 'MIRROR_PIPELINE', 1)))
         self._pending_kf_k = -1
         self._host_to_dev = np.zeros(0, np.int32)  # edge -> device net row
         # 'onepass' = single-kernel planes+select (ops/corr_onepass.py);
@@ -571,8 +571,14 @@ class DPVO:
             # still deferred must reach the device first (full-sync drains
             # can decide twice between dispatches), and (b) any in-flight
             # mirrors — computed against the pre-removal numbering — must
-            # land before the host arrays shift under them. Their skipped
-            # keyframe checks simply re-run at the next frame's drain.
+            # land before the host arrays shift under them. NOTE: the
+            # keyframe checks those mirrors would have triggered through
+            # _drain_one are DROPPED, not re-run — the check window is a
+            # fixed lag off self.n, so a skipped frame is never
+            # re-examined and an occasional redundant keyframe can
+            # survive vs the reference's per-frame tail. Only reachable
+            # with MIRROR_PIPELINE>1 (at the default of 1, drains happen
+            # every frame and nothing is ever deferred).
             if self._pending_kf_k >= 0:
                 self._flush_pending()
             while self._deferred:

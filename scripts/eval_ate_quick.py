@@ -8,7 +8,10 @@ kernel/layout bugs (e.g. the native-corr weight permutation).
     python scripts/eval_ate_quick.py artifacts/micro_vonet.npz --impl onepass
     python scripts/eval_ate_quick.py artifacts/micro_vonet.npz --impl fused
 """
-import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import sys, os
+_here = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_here))   # repo root (dpvo_tpu package)
+sys.path.insert(0, _here)                    # scripts/ (train_synthetic)
 import argparse
 
 
@@ -37,7 +40,6 @@ def main():
         for seed in args.seeds:
             seq = make_sequence(seed, T=args.T, H=64, W=96, step=0.12)
             if args.patches:
-                import train_synthetic as ts
                 e, p = _run_with_patches(net, seq, args.patches)
             else:
                 e, p = run_vo_ate(net, seq)
@@ -76,5 +78,4 @@ def _run_with_patches(params_path, seq, M):
 
 
 if __name__ == '__main__':
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     main()
