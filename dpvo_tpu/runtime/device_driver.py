@@ -126,25 +126,9 @@ class DeviceVO:
                     f'using "--opts BUFFER_SIZE={self.cfg.BUFFER_SIZE * 2}"')
 
         self.tlist.append(tstamp)
-        aux = np.empty((self.M, 4), np.float32)
-        aux[:, :2] = self._select_coords(image)
-        aux[:, 2] = self.rng.rand(self.M)
-        aux[:, 3] = tstamp
-
         from .device_vo import vo_frame_packed1
-        if self._upload == 'yuv420':
-            import cv2
-            npix = self.ht * self.wd * 3 // 2
-            pix = cv2.cvtColor(np.ascontiguousarray(image, np.uint8),
-                               cv2.COLOR_RGB2YUV_I420).ravel()
-        else:
-            npix = self.ht * self.wd * 3
-            pix = np.ascontiguousarray(image, np.uint8).ravel()
-        buf = np.empty(npix + self.M * 16, np.uint8)
-        buf[:npix] = pix
-        buf[npix:] = aux.astype(np.float32).view(np.uint8).ravel()
         self.st = vo_frame_packed1(
-            self.params, self.st, jnp.asarray(buf),
+            self.params, self.st, jnp.asarray(self._pack_buf(image, tstamp)),
             ht=self.ht, wd=self.wd, upload=self._upload,
             oracle=self._oracle, **self._static)
 
@@ -162,6 +146,26 @@ class DeviceVO:
         roundtrip)."""
         return select_coords(self.cfg, self.rng, image, self.M,
                              self.ht // RES, self.wd // RES)
+
+    def _pack_buf(self, image, tstamp):
+        """One flat uint8 row for vo_frame(s)_packed1:
+        [image bytes (rgb or I420) | (M, 4) f32 aux bytes]."""
+        aux = np.empty((self.M, 4), np.float32)
+        aux[:, :2] = self._select_coords(image)
+        aux[:, 2] = self.rng.rand(self.M)
+        aux[:, 3] = tstamp
+        if self._upload == 'yuv420':
+            import cv2
+            npix = self.ht * self.wd * 3 // 2
+            pix = cv2.cvtColor(np.ascontiguousarray(image, np.uint8),
+                               cv2.COLOR_RGB2YUV_I420).ravel()
+        else:
+            npix = self.ht * self.wd * 3
+            pix = np.ascontiguousarray(image, np.uint8).ravel()
+        buf = np.empty(npix + self.M * 16, np.uint8)
+        buf[:npix] = pix
+        buf[npix:] = aux.view(np.uint8).ravel()
+        return buf
 
     def track_frames(self, tstamps, images, intrinsics):
         """Track a chunk of frames in ONE dispatch (device_vo.vo_frames).
@@ -187,17 +191,13 @@ class DeviceVO:
                     f'using "--opts BUFFER_SIZE={self.cfg.BUFFER_SIZE * 2}"')
 
         self.tlist.extend(tstamps)
-        aux = np.empty((K, self.M, 4), np.float32)
-        for k in range(K):
-            aux[k, :, :2] = self._select_coords(images[k])
-        aux[..., 2] = self.rng.rand(K, self.M)
-        aux[..., 3] = np.asarray(tstamps, np.float32)[:, None]
-
-        from .device_vo import vo_frames_packed
-        self.st = vo_frames_packed(
-            self.params, self.st,
-            jnp.asarray(np.ascontiguousarray(np.stack(images))),
-            jnp.asarray(aux), oracle=self._oracle, **self._static)
+        bufs = np.stack([self._pack_buf(images[k], tstamps[k])
+                         for k in range(K)])
+        from .device_vo import vo_frames_packed1
+        self.st = vo_frames_packed1(
+            self.params, self.st, jnp.asarray(bufs),
+            ht=self.ht, wd=self.wd, upload=self._upload,
+            oracle=self._oracle, **self._static)
 
     def _push_viewer_state(self):
         n = int(fetch(self.st.n))

@@ -816,3 +816,31 @@ def vo_frames_packed(params, st, images, aux, **kw):
 
     st, _ = jax.lax.scan(body, st, (images, aux))
     return st
+
+
+@partial(jax.jit, static_argnames=_PACK_STATICS + ('ht', 'wd', 'upload'),
+         donate_argnames=('st', 'bufs'))
+def vo_frames_packed1(params, st, bufs, *, ht, wd, upload='rgb', **kw):
+    """Chunked vo_frames from K flat uint8 uploads in ONE array.
+
+    bufs is (K, npix + M*16) uint8, each row laid out exactly like
+    vo_frame_packed1's buf ([image bytes | (M, 4) f32 aux bytes], with
+    npix = ht*wd*3 for 'rgb' or ht*wd*3//2 for 'yuv420').  Combines the
+    chunked dispatch amortization of vo_frames with the single-transfer
+    camera-native ingest of vo_frame_packed1: one device_put and one
+    execute per K frames at 1.5 B/px."""
+    M = kw['M']
+    npix = ht * wd * 3 if upload == 'rgb' else ht * wd * 3 // 2
+
+    def body(carry, buf):
+        if upload == 'rgb':
+            image = buf[:npix].reshape(ht, wd, 3)
+        else:
+            image = _i420_to_rgb(buf[:npix], ht, wd)
+        aux4 = jax.lax.bitcast_convert_type(
+            buf[npix:].reshape(M, 4, 4), jnp.float32)
+        return vo_frame(params, carry, image, aux4[:, :2], aux4[:, 2],
+                        aux4[0, 3], **kw), None
+
+    st, _ = jax.lax.scan(body, st, bufs)
+    return st
