@@ -322,6 +322,18 @@ def main():
                 extra['fast_yaml_ms_device'] = round(fdev, 2)
         except Exception as e:
             extra['fast_yaml_fps'] = f'error: {e}'
+    if args.chunk == 1:
+        # chunked-dispatch throughput (track_frames -> vo_frames_packed1):
+        # identical math, one upload + one execute per 8 frames — separates
+        # per-dispatch tunnel overhead from device compute
+        import copy
+        a8 = copy.copy(args)
+        a8.chunk = 8
+        try:
+            fc, _, _, _, _ = run_mode(cfg, a8, H, W, frames, intr, 'chunk8')
+            extra['fps_chunk8'] = round(fc, 2)
+        except Exception as e:
+            extra['fps_chunk8'] = f'error: {e}'
     if args.slam_modes:
         for key, name in (('LOOP_CLOSURE', 'slam_lc_fps'),
                           ('CLASSIC_LOOP_CLOSURE', 'slam_classic_fps')):

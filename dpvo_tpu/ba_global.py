@@ -264,6 +264,12 @@ def _bucket(n, step):
     return max(step, -(-n // step) * step)
 
 
+def edge_cap(n_edges):
+    """The Eb bucket global_ba pads the full edge set to — callers that
+    pre-assemble device target/weight rows must pad to exactly this."""
+    return _bucket(n_edges, 16384)
+
+
 def global_ba(poses, xy, depth, intrinsics, target, weight, ii, jj, kk,
               t0, t1, M, iterations=2, lmbda=1e-4):
     """Host wrapper: builds pair tables, buckets capacities, runs the jit.
@@ -290,10 +296,19 @@ def global_ba(poses, xy, depth, intrinsics, target, weight, ii, jj, kk,
 
     mask = np.zeros(Eb, bool)
     mask[:E] = True
-    tgt = np.zeros((Eb, 2), np.float32)
-    tgt[:E] = target
-    wgt = np.zeros((Eb, 2), np.float32)
-    wgt[:E] = weight
+    if isinstance(target, jnp.ndarray):
+        # pre-assembled device rows (runtime/dpvo.py keeps the retired-edge
+        # target/weight store ON DEVICE; shipping it through numpy would
+        # cost a blocking D2H per global BA). Must already be padded to the
+        # same Eb bucket (edge_cap below).
+        assert target.shape[0] == Eb and weight.shape[0] == Eb, \
+            (target.shape, Eb)
+        tgt, wgt = target, weight
+    else:
+        tgt = np.zeros((Eb, 2), np.float32)
+        tgt[:E] = target
+        wgt = np.zeros((Eb, 2), np.float32)
+        wgt[:E] = weight
 
     Gb = GM // M
     pair_i = padi(tabs['pair_i'], Gb)

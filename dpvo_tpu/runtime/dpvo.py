@@ -48,6 +48,34 @@ def _normalize_dev(poses, depth, s, n, *, M):
     return poses, depth
 
 
+@partial(jax.jit, donate_argnames=('store',))
+def _inac_append(store, target, weight, idx, ni):
+    """Append retired edges' freshest target/weight rows to the ON-DEVICE
+    inactive store (reference keeps them in CUDA memory, patchgraph.py:49-54)
+    — a row gather + block write, zero D2H. idx: (Kb,) device rows to
+    retire (valid-prefix compacted, -1 pads); ni: current store fill.
+    Caller guarantees ni + Kb <= store rows."""
+    rows = jnp.concatenate([gather_rows(target, jnp.maximum(idx, 0)),
+                            gather_rows(weight, jnp.maximum(idx, 0))], -1)
+    Kb = idx.shape[0]
+    cur = jax.lax.dynamic_slice(store, (ni, 0), (Kb, 4))
+    blk = jnp.where((idx >= 0)[:, None], rows, cur)
+    return jax.lax.dynamic_update_slice(store, blk, (ni, 0))
+
+
+@partial(jax.jit, static_argnames=('Eb',))
+def _assemble_tw(inac, target, weight, mask, ni, *, Eb):
+    """[inac[:ni] | active target/weight rows] padded to the global-BA
+    bucket, assembled on device — global BA consumes the retired-edge store
+    without any blocking target/weight fetch."""
+    act = jnp.concatenate([target, weight], -1)
+    big = jnp.zeros((max(Eb, inac.shape[0] + act.shape[0]), 4), jnp.float32)
+    big = jax.lax.dynamic_update_slice(big, inac, (0, 0))
+    big = jax.lax.dynamic_update_slice(big, act, (ni, 0))
+    tw = jnp.where(mask[:, None], big[:Eb], 0.0)
+    return tw[:, :2], tw[:, 2:]
+
+
 class DPVO:
 
     def __init__(self, cfg, network, ht=480, wd=640, viz=False, seed=1234):
@@ -121,12 +149,16 @@ class DPVO:
         self.kk = np.zeros(0, np.int32)
 
         # inactive (retired) edges kept for global BA (reference
-        # patchgraph.py:49-54); stored host-side, shipped only when needed
+        # patchgraph.py:49-54). Indices are host bookkeeping; the retired
+        # target/weight ROWS stay on device ([targ|wgt] packed (cap, 4)):
+        # retiring edges is a device-side gather and global BA assembles
+        # its full edge set on device, so the LC steady state never pays a
+        # blocking target/weight D2H.
         self.ii_inac = np.zeros(0, np.int32)
         self.jj_inac = np.zeros(0, np.int32)
         self.kk_inac = np.zeros(0, np.int32)
-        self.targ_inac = np.zeros((0, 2), np.float32)
-        self.w_inac = np.zeros((0, 2), np.float32)
+        self._inac_cap = 2048
+        self._inac_tw_dev = jnp.zeros((self._inac_cap, 4), jnp.float32)
 
         # deferred device operations (fused into the next frame_step).
         # MIRROR_PIPELINE=2 keeps up to two frames' packed mirrors in
@@ -342,18 +374,27 @@ class DPVO:
         if m.sum() == 0:
             return
         if store and self.cfg.LOOP_CLOSURE:
-            # fetch freshest target/weight rows for the retired edges —
-            # packed into ONE D2H (each blocking fetch pays a full tunnel
-            # roundtrip, ~30-50 ms; device-side concat is ~2 ms dispatch)
-            self._flush_pending()
-            targ_all, wgt_all = self._fetch_target_weight()
-            tw = targ_all[:len(self.ii)][m]
-            ww = wgt_all[:len(self.ii)][m]
+            # retire the freshest target/weight rows INTO the device store —
+            # one small dispatch, no D2H (a blocking fetch here paid a full
+            # tunnel roundtrip per frame, the LC modes' dominant cost)
+            self._flush_pending()   # _host_to_dev becomes identity
+            idx = np.where(m)[0].astype(np.int32)
+            ni, K = len(self.ii_inac), len(idx)
+            Kb = edge_bucket(K)
+            while self._inac_cap < ni + Kb:      # pow-2 growth, rare
+                self._inac_cap *= 2
+                self._inac_tw_dev = jnp.pad(
+                    self._inac_tw_dev,
+                    ((0, self._inac_cap - self._inac_tw_dev.shape[0]),
+                     (0, 0)))
+            idx_p = np.full(Kb, -1, np.int32)
+            idx_p[:K] = idx
+            self._inac_tw_dev = _inac_append(
+                self._inac_tw_dev, self.target_dev, self.weight_dev,
+                jnp.asarray(idx_p), jnp.int32(ni))
             self.ii_inac = np.concatenate([self.ii_inac, self.ii[m]])
             self.jj_inac = np.concatenate([self.jj_inac, self.jj[m]])
             self.kk_inac = np.concatenate([self.kk_inac, self.kk[m]])
-            self.targ_inac = np.concatenate([self.targ_inac, tw])
-            self.w_inac = np.concatenate([self.w_inac, ww])
         self._host_to_dev = self._host_to_dev[~m]
         self.ii = self.ii[~m]
         self.jj = self.jj[~m]
@@ -462,14 +503,6 @@ class DPVO:
             self.depth_dev, (patch_base,), (self.PC_CAP,)))
         self.depth_np[patch_base:patch_base + self.PC_CAP] = dwin
 
-    def _fetch_target_weight(self):
-        """target+weight as one packed D2H; returns (target, weight) np."""
-        ecap = self.target_dev.shape[0]
-        tw = fetch(jnp.concatenate([self.target_dev.ravel(),
-                                    self.weight_dev.ravel()]))
-        return (tw[:ecap * 2].reshape(ecap, 2),
-                tw[ecap * 2:].reshape(ecap, 2))
-
     def _refresh_pose_depth_mirrors(self):
         """depth+poses mirrors from one packed D2H instead of two."""
         nd = self.depth_dev.shape[0]
@@ -485,15 +518,21 @@ class DPVO:
 
         self.normalize()
 
+        from ..ba_global import edge_cap
         E = len(self.ii)
-        targ_all, wgt_all = self._fetch_target_weight()
-        targ = targ_all[:E]
-        wgt = wgt_all[:E]
+        ni = len(self.ii_inac)
+        self._flush_pending()    # active device rows must be host-ordered
         full_ii = np.concatenate([self.ii_inac, self.ii])
         full_jj = np.concatenate([self.jj_inac, self.jj])
         full_kk = np.concatenate([self.kk_inac, self.kk])
-        full_t = np.concatenate([self.targ_inac, targ])
-        full_w = np.concatenate([self.w_inac, wgt])
+        # assemble the full target/weight set ON DEVICE from the retired-
+        # edge store + the live rows: global BA dispatches with zero D2H
+        Eb = edge_cap(ni + E)
+        mask = np.zeros(Eb, bool)
+        mask[:ni + E] = True
+        full_t, full_w = _assemble_tw(
+            self._inac_tw_dev, self.target_dev, self.weight_dev,
+            jnp.asarray(mask), jnp.int32(ni), Eb=Eb)
 
         t0 = int(self.ii.min())
         self.poses_dev, self.depth_dev = global_ba(
