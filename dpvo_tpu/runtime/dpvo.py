@@ -34,18 +34,26 @@ from functools import partial
 
 
 @partial(jax.jit, static_argnames=('M',), donate_argnums=(0, 1))
-def _normalize_dev(poses, depth, s, n, *, M):
+def _normalize_dev(poses, depth, n, *, M):
     """Device-side gauge normalization (reference patchgraph.py:84-95):
-    depth[:n*M] /= s, translations[:n] *= s, rebase rows [:n] to pose 0 —
-    one dispatch instead of a full-mirror D2H + host math + two H2D."""
+    s = mean inverse depth computed IN-GRAPH, depth[:n*M] /= s,
+    translations[:n] *= s, rebase rows [:n] to pose 0 — one dispatch, no
+    D2H. Returns the applied scale (1.0 when the guard trips) so the host
+    can settle the removed-frame delta dict lazily (one packed fetch at
+    terminate instead of a blocking scalar fetch per normalize)."""
     rowp = jnp.arange(poses.shape[0]) < n
     rowd = jnp.arange(depth.shape[0]) < n * M
+    s = jnp.sum(jnp.where(rowd, depth, 0.0)) / jnp.maximum(n * M, 1)
+    # defensive guard (ours, not the reference's): a non-finite or
+    # non-positive mean means a diverged state — leave it untouched
+    ok = jnp.isfinite(s) & (s > 0)
+    s = jnp.where(ok, s, 1.0)
     depth = jnp.where(rowd, depth / s, depth)
     scaled = jnp.concatenate([poses[:, :3] * s, poses[:, 3:]], axis=1)
     base = lie.se3_inv(scaled[0])
     reb = lie.se3_mul(scaled, jnp.broadcast_to(base, scaled.shape))
-    poses = jnp.where(rowp[:, None], reb, poses)
-    return poses, depth
+    poses = jnp.where((rowp & ok)[:, None], reb, poses)
+    return poses, depth, s
 
 
 @partial(jax.jit, donate_argnames=('store',))
@@ -191,6 +199,10 @@ class DPVO:
         self.counter = 0     # input frame count
         self.tlist = []
         self.delta = {}      # removed-frame relative poses
+        # deferred normalize scales: device scalar handles + per-delta
+        # creation epochs, settled in ONE fetch at terminate
+        self._scale_events = []
+        self._delta_epoch = {}
         self.ran_global_ba = np.zeros(100000, dtype=bool)
 
         self.viewer = None
@@ -546,21 +558,35 @@ class DPVO:
         (reference patchgraph.py:84-95): mean inverse depth -> 1, rebase to
         pose 0.
 
-        Scaling/rebase run ON DEVICE; the host only fetches the scalar
-        scale (for the removed-frame delta dict). The stale host mirrors
-        are refreshed by the packed post-global-BA fetch that always
-        follows (_refresh_pose_depth_mirrors)."""
-        n, M = self.n, self.M
-        s = float(fetch(jnp.mean(self.depth_dev[:n * M])))
-        if not np.isfinite(s) or s <= 0:
+        Everything runs ON DEVICE — including the mean-depth scale — so
+        this is dispatch-only. The removed-frame delta dict needs each
+        applied scale on the host, but not until terminate(): the scalar
+        handles accumulate in _scale_events and _settle_deltas() fetches
+        them in ONE packed D2H (the per-normalize blocking scalar fetch
+        was a full tunnel roundtrip in the LC steady state). The stale
+        host mirrors are refreshed by the packed post-global-BA fetch that
+        always follows (_refresh_pose_depth_mirrors)."""
+        self.poses_dev, self.depth_dev, s_dev = _normalize_dev(
+            self.poses_dev, self.depth_dev, jnp.int32(self.n), M=self.M)
+        self._scale_events.append(s_dev)
+
+    def _settle_deltas(self):
+        """Apply deferred normalize scales to the delta dict: an entry
+        created at epoch e (== len(_scale_events) then) is scaled by every
+        normalize that happened after it, i.e. prod(scales[e:])."""
+        if not self._scale_events:
             return
-        self.poses_dev, self.depth_dev = _normalize_dev(
-            self.poses_dev, self.depth_dev, jnp.float32(s),
-            jnp.int32(n), M=M)
+        scales = np.asarray(fetch(jnp.stack(self._scale_events)), np.float64)
+        # suffix products: suffix[e] = prod(scales[e:]); suffix[n_events]=1
+        suffix = np.concatenate([np.cumprod(scales[::-1])[::-1], [1.0]])
         for t, (t0, dP) in self.delta.items():
-            dPs = dP.copy()
-            dPs[:3] *= s
-            self.delta[t] = (t0, dPs)
+            e = self._delta_epoch.get(t, len(scales))
+            if suffix[e] != 1.0:
+                dPs = dP.copy()
+                dPs[:3] *= np.float32(suffix[e])
+                self.delta[t] = (t0, dPs)
+            self._delta_epoch[t] = 0
+        self._scale_events = []
 
     def update(self):
         self._drain()
@@ -629,6 +655,7 @@ class DPVO:
 
             dP = nse3.mul(self.poses_np[k], nse3.inv(self.poses_np[k - 1]))
             self.delta[t1] = (t0, dP)
+            self._delta_epoch[t1] = len(self._scale_events)
 
             to_remove = (self.ii == k) | (self.jj == k)
             self.remove_factors(to_remove, store=False)
@@ -736,6 +763,8 @@ class DPVO:
             if ns > 0 and self.motion_probe() < 2.0:
                 self.delta[self.counter - 1] = (self.counter - 2,
                                                 nse3.identity())
+                self._delta_epoch[self.counter - 1] = \
+                    len(self._scale_events)
                 return
             self.n += 1
             self.m += M
@@ -944,6 +973,7 @@ class DPVO:
             self.ran_global_ba[self.n] = False
             self.update()
 
+        self._settle_deltas()
         self.traj = {}
         for i in range(self.n):
             self.traj[self.tstamps_[i]] = self.poses_np[i]
