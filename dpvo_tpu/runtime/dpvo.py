@@ -178,7 +178,7 @@ class DPVO:
         # stay exact because frame_step computes them on device
         # (state.py device_init). MIRROR_PIPELINE=1 (the config default)
         # is the reference-synchronous behavior; the bench opts into 2.
-        self._deferred = []      # deque of (mirror, ns, t0, pb, aw)
+        self._deferred = []   # deque of (mirror, ns, t0, pb, aw, refresh)
         self._pipeline = max(1, int(getattr(cfg, 'MIRROR_PIPELINE', 1)))
         self._pending_kf_k = -1
         self._host_to_dev = np.zeros(0, np.int32)  # edge -> device net row
@@ -515,13 +515,23 @@ class DPVO:
             self.depth_dev, (patch_base,), (self.PC_CAP,)))
         self.depth_np[patch_base:patch_base + self.PC_CAP] = dwin
 
-    def _refresh_pose_depth_mirrors(self):
-        """depth+poses mirrors from one packed D2H instead of two."""
+    def _start_refresh(self):
+        """Dispatch the packed depth+poses D2H; returns the device handle
+        (fetchable later, overlapped with subsequent frames' wall time)."""
+        pd = jnp.concatenate([self.depth_dev, self.poses_dev.ravel()])
+        if hasattr(pd, 'copy_to_host_async'):
+            pd.copy_to_host_async()
+        return pd
+
+    def _apply_refresh(self, pd_handle):
         nd = self.depth_dev.shape[0]
-        pd = fetch(jnp.concatenate([self.depth_dev,
-                                    self.poses_dev.ravel()]))
+        pd = fetch(pd_handle)
         self.depth_np = pd[:nd].copy()
         self.poses_np = pd[nd:].reshape(-1, 7).copy()
+
+    def _refresh_pose_depth_mirrors(self):
+        """depth+poses mirrors from one packed D2H instead of two."""
+        self._apply_refresh(self._start_refresh())
 
     def _run_global_ba(self):
         """Global bundle adjustment over active + inactive edges
@@ -647,7 +657,7 @@ class DPVO:
             if self._pending_kf_k >= 0:
                 self._flush_pending()
             while self._deferred:
-                self._apply_mirror(*self._deferred.pop(0))
+                self._apply_deferred(self._deferred.pop(0))
 
             k = self.n - self.cfg.KEYFRAME_INDEX
             t0 = self.tstamps_[k - 1]
@@ -794,7 +804,7 @@ class DPVO:
         use_global = (self.cfg.LOOP_CLOSURE and
                       (self.ii < self.n - self.cfg.REMOVAL_WINDOW - 1).any()
                       and not self.ran_global_ba[self.n])
-        if use_global:
+        if use_global and self._pipeline == 1:
             self._drain()            # mirrors must apply in dispatch order
 
         dev_init = ('damped' if (ns > 1 and
@@ -805,8 +815,8 @@ class DPVO:
             ns, do_update=True, run_ba=not use_global,
             device_init=dev_init, motion_fac=self._motion_fac)
 
-        if use_global:
-            # global BA syncs anyway: finish this frame's post-step inline
+        if use_global and self._pipeline == 1:
+            # reference-synchronous: finish this frame's post-step inline
             self._apply_mirror(mirror, ns, t0, pb, aw)
             self._run_global_ba()
             self._refresh_pose_depth_mirrors()
@@ -816,12 +826,21 @@ class DPVO:
             if self.cfg.CLASSIC_LOOP_CLOSURE and self.long_term_lc:
                 self.long_term_lc.attempt_loop_closure(self.n)
                 self.long_term_lc.lc_callback()
-        else:
-            # steady state: defer the mirror sync MIRROR_PIPELINE frames;
-            # start the D2H now so it crosses the link during later frames
-            if hasattr(mirror, 'copy_to_host_async'):
-                mirror.copy_to_host_async()
-            self._deferred.append((mirror, ns, t0, pb, aw))
+            return
+
+        refresh = None
+        if use_global:
+            # pipelined: global BA is dispatch-only (device-resident
+            # inactive store, in-graph normalize), and its pose/depth
+            # mirror refresh rides the deferred queue — the LC steady
+            # state has NO blocking fetch on the frame's critical path
+            self._run_global_ba()
+            refresh = self._start_refresh()
+        # steady state: defer the mirror sync MIRROR_PIPELINE frames;
+        # start the D2H now so it crosses the link during later frames
+        if hasattr(mirror, 'copy_to_host_async'):
+            mirror.copy_to_host_async()
+        self._deferred.append((mirror, ns, t0, pb, aw, refresh))
 
     def _push_viewer_state(self):
         """3D snapshot from the host mirrors — no extra device traffic
@@ -893,6 +912,15 @@ class DPVO:
 
         return mirror, t0, patch_base, (do_update and run_ba)
 
+    def _apply_deferred(self, entry):
+        """Apply one deferred post-step: the packed mirror, then (for a
+        pipelined global-BA frame) the full pose/depth refresh that
+        supersedes it."""
+        mirror, ns, t0, patch_base, apply_windows, refresh = entry
+        self._apply_mirror(mirror, ns, t0, patch_base, apply_windows)
+        if refresh is not None:
+            self._apply_refresh(refresh)
+
     def _apply_mirror(self, mirror, ns, t0, patch_base, apply_windows):
         """Unpack the packed mirror vector (ONE D2H) into the host mirrors.
 
@@ -924,8 +952,7 @@ class DPVO:
         per-sync latency behind subsequent frames' wall time."""
         if not self._deferred:
             return
-        mirror, ns, t0, patch_base, apply_windows = self._deferred.pop(0)
-        self._apply_mirror(mirror, ns, t0, patch_base, apply_windows)
+        self._apply_deferred(self._deferred.pop(0))
         self.keyframe()
         if self.viewer is not None and self.n % 3 == 0:
             self._push_viewer_state()

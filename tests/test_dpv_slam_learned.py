@@ -19,7 +19,7 @@ _NPZ = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), 'artifacts', 'micro_vonet.npz')
 
 
-def _run(seq, net, loop_closure):
+def _run(seq, net, loop_closure, pipeline=1):
     from dpvo_tpu.config import cfg as base_cfg
     from dpvo_tpu.evaluation import ate_rmse, poses_to_trajectory
     from dpvo_tpu.runtime import DPVO
@@ -39,6 +39,7 @@ def _run(seq, net, loop_closure):
     # the loop arc is ~T/2 frames; make revisit edges eligible + frequent
     cfg.GLOBAL_OPT_FREQ = 8
     cfg.BACKEND_THRESH = 64.0
+    cfg.MIRROR_PIPELINE = int(pipeline)
 
     slam = DPVO(cfg, net, ht=H, wd=W, seed=7)
     if hasattr(slam, '_static'):
@@ -77,3 +78,31 @@ def test_dpv_slam_loop_closure_on_synthetic_loop():
     assert err_lc <= err_vo * 1.05 + 1e-4
     if err_vo > 0.01 * path:
         assert err_lc < err_vo, (err_lc, err_vo)
+
+
+@pytest.mark.skipif(not os.path.exists(_NPZ),
+                    reason='run scripts/train_synthetic.py first')
+def test_dpv_slam_pipelined_lc_matches_synchronous():
+    """MIRROR_PIPELINE=2 routes global-BA frames through the deferred
+    mirror queue (dispatch-only global BA, refresh riding the queue) —
+    the trajectory must match the reference-synchronous MIRROR_PIPELINE=1
+    run closely: only the host/device sync point moves, not the math.
+    The device-side init recomputes the motion model in-graph, so the
+    result is near-identical, not merely similar."""
+    from dpvo_tpu.data_readers.synthetic import make_sequence
+
+    seq = make_sequence(951, T=40, H=64, W=96, step=0.12, loop=True)
+    err_sync, n_loop_sync = _run(seq, _NPZ, loop_closure=True, pipeline=1)
+    err_pipe, n_loop_pipe = _run(seq, _NPZ, loop_closure=True, pipeline=2)
+
+    path = float(np.linalg.norm(np.diff(seq['wfc'][:, :3], axis=0),
+                                axis=1).sum())
+    print(f'pipelined LC: sync ATE {err_sync:.4f} ({n_loop_sync} edges), '
+          f'pipelined ATE {err_pipe:.4f} ({n_loop_pipe} edges), '
+          f'path {path:.2f}')
+
+    assert np.isfinite(err_sync) and np.isfinite(err_pipe)
+    assert n_loop_pipe > 0, 'pipelined LC proposed no loop edges'
+    # same math, shifted sync point: within 20% relative or 2% of path
+    assert abs(err_pipe - err_sync) <= max(0.2 * err_sync, 0.02 * path), \
+        (err_pipe, err_sync)
