@@ -29,7 +29,7 @@ import time
 import numpy as np
 
 
-def wait_for_backend(max_wait=240.0):
+def wait_for_backend(max_wait=None):
     """Poll TPU backend init until it succeeds or `max_wait` elapses.
 
     The round-2 driver bench was erased by a transient tunnel failure: the
@@ -37,7 +37,13 @@ def wait_for_backend(max_wait=240.0):
     JAX caches that failure for the process. Probing in a SUBPROCESS keeps
     this process's backend cache clean — once a probe succeeds, the real
     import below initializes fresh. Returns (platform|None, last_error).
+
+    Default patience is 30 min (BENCH_WAIT_S overrides): observed tunnel
+    wedges last minutes-to-hours, and a driver bench that gives up early
+    records 0.0 FPS for the whole round.
     """
+    if max_wait is None:
+        max_wait = float(os.environ.get('BENCH_WAIT_S', 1800.0))
     import subprocess
     deadline = time.time() + max_wait
     delay = 5.0
