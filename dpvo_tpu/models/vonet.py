@@ -195,11 +195,16 @@ def update_op(params, net, inp, corr_feat, ix, jx, kk_ids, pair_ids,
             # pair-blocked edge tables (DeviceVO): the temporal neighbors
             # of a pair's M edges are the neighbor PAIR's M edges in order,
             # so the (E,)-row gather collapses to a (GP,)-row gather of
-            # contiguous (M*DIM)-sized rows — far friendlier to the TPU
-            # than 49k fine-grained row lookups
+            # contiguous (M*DIM)-sized rows.  Run it as a one-hot MXU
+            # matmul (ba_pairs.gather_rows): the fancy-index form lowers
+            # to gather+relayout-transpose at ~0.9 ms/frame for the two
+            # calls (GP=512, M=96, DIM=384); the one-hot is exact (each
+            # output row sums exactly one source row).
+            from ..ba_pairs import gather_rows
             Mg = gather_pairs[2]
             xp = x.reshape(-1, Mg * x.shape[-1])
-            return xp[jnp.maximum(idx_pair, 0)].reshape(x.shape)
+            return gather_rows(
+                xp, jnp.maximum(idx_pair, 0)).reshape(x.shape)
         return x[jnp.maximum(idx_e, 0)]
 
     # SEQUENTIAL: c2's gather sees the c1-updated hidden state (reference

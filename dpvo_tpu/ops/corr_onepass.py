@@ -193,20 +193,24 @@ def _compact_taps(w, Wx, radius):
     return out
 
 
-def _onepass_kernel(nv_ref, pa_ref, pb_ref,
-                    g_ref, sxy_ref,
-                    f1_hbm, f2_hbm,
+def _onepass_kernel(nv_ref, pa_ref, pb_ref, gb_ref,
+                    sxy_ref,
+                    g_hbm, f1_hbm, f2_hbm,
                     out1_ref, out2_ref,
-                    pl1, pl2, f1_vmem, f2_vmem, cur_ref, sem_ref,
+                    pl1, pl2, g_vmem, f1_vmem, f2_vmem, cur_ref, sem_ref,
                     *, H1, W1, H2, W2, radius, gated=True):
     """Per grid step: EB edges' plane dots into flat fp32 VMEM scratch, then
     the tap-select epilogue + compaction matmul for the whole block.  Slabs
-    re-DMA only on target slot change (edges grouped by target).  With
-    gated=True, blocks wholly past `nv` only zero their output tiles."""
+    re-DMA only on target slot change (edges grouped by target).  The EB
+    g-rows DMA per block from `g_hbm` rows [gb, gb+EB) (gb_ref scalar-
+    prefetched): the pair-blocked edge tables make each block's gmap rows
+    CONTIGUOUS, so the caller never materializes the per-edge (E, P2, C)
+    gather (~113 MB + a 0.6 ms relayout at E=49k).  With gated=True, blocks
+    wholly past `nv` only zero their output tiles."""
     blk = pl.program_id(0)
     nv = nv_ref[0]
-    P2 = g_ref.shape[1]
-    C = g_ref.shape[2]
+    P2 = out1_ref.shape[0] // EB     # g_vmem dim 1 is P2 PADDED to 16
+    C = g_vmem.shape[2]
     R = EB * P2
     d = 2 * radius + 1
 
@@ -217,12 +221,17 @@ def _onepass_kernel(nv_ref, pa_ref, pb_ref,
     active = blk * EB < nv
 
     def _run_block():
+        cpg = pltpu.make_async_copy(
+            g_hbm.at[pl.ds(gb_ref[blk], EB)], g_vmem, sem_ref.at[2])
+        cpg.start()
         # NO per-edge validity predication inside the loop: a per-edge
         # pl.when around the dot defeats Mosaic's software pipelining
         # (measured 730 ns/edge vs the 250 ns floor).  Edges past nv within
         # the boundary block compute garbage planes — harmless, the
         # epilogue's vrow mask zeroes those rows (slot words are clamped
         # into range upstream, so the slab DMA index is always valid).
+        cpg.wait()
+
         def body(e, _):
             gidx = blk * EB + e
             pa = pa_ref[gidx]
@@ -241,7 +250,7 @@ def _onepass_kernel(nv_ref, pa_ref, pb_ref,
                 cp2.wait()
                 cur_ref[0] = js
 
-            g = g_ref[e]                                    # (P2, C)
+            g = g_vmem[e, :P2, :]                           # (P2, C)
             w1 = f1_vmem[(pa >> 26) & 1,
                          pl.ds((pa >> 8) & 0x3FF, WY),
                          pl.ds(pl.multiple_of(((pa >> 18) & 0xFF) * 8, 8),
@@ -316,18 +325,24 @@ def _onepass_kernel(nv_ref, pa_ref, pb_ref,
 
 @partial(jax.jit, static_argnames=('H1', 'W1', 'H2', 'W2', 'radius',
                                    'out_dtype', 'interpret'))
-def _onepass_call(g9, fp1, fp2, pa, pb, sxy, nv,
+def _onepass_call(g_rows, gb, fp1, fp2, pa, pb, sxy, nv,
                   *, H1, W1, H2, W2, radius, out_dtype=jnp.float32,
                   interpret=False):
-    E, P2, C = g9.shape
+    """g_rows: (NR, P2PAD, C) g-row source in HBM, P2 padded to P2PAD=16
+    sublanes (DMA slices must be sublane-aligned); gb: (nblocks,) int32 row
+    base per grid block (rows [gb, gb+EB) are that block's edges' g9).
+    P2 itself rides the `radius`-independent constant 9 (P=3 patches)."""
+    E = pa.shape[0]
+    _, P2PAD, C = g_rows.shape
+    P2 = 9
     d = 2 * radius + 1
     R = EB * P2
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(E // EB,),
         in_specs=[
-            pl.BlockSpec((EB, P2, C), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((EB, 64), lambda i, *_: (i, 0)),   # coords+bases
+            pl.BlockSpec(memory_space=pl.ANY),              # g-rows
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -338,10 +353,11 @@ def _onepass_call(g9, fp1, fp2, pa, pb, sxy, nv,
         scratch_shapes=[
             pltpu.VMEM((EB, P2, WY * WX1), jnp.float32),
             pltpu.VMEM((EB, P2, WY2 * WX2), jnp.float32),
+            pltpu.VMEM((EB, P2PAD, C), g_rows.dtype),
             pltpu.VMEM(fp1.shape[1:], fp1.dtype),   # (2, Hp, Wp, C) pair
             pltpu.VMEM(fp2.shape[1:], fp2.dtype),
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     return pl.pallas_call(
@@ -355,12 +371,13 @@ def _onepass_call(g9, fp1, fp2, pa, pb, sxy, nv,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2**20),
         interpret=interpret,
     )(nv.reshape(1).astype(jnp.int32), pa.astype(jnp.int32),
-      pb.astype(jnp.int32), g9, sxy, fp1, fp2)
+      pb.astype(jnp.int32), gb.astype(jnp.int32), sxy, g_rows, fp1, fp2)
 
 
 def corr_onepass(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
                  interpret=False, g9=None, prepadded=None, nv=None,
-                 layout='reference', out_dtype=jnp.float32):
+                 layout='reference', out_dtype=jnp.float32,
+                 rows_contiguous=False):
     """Drop-in replacement for ops/corr_fused.corr_fused with an optional
     valid-edge prefix count `nv` (traced int32; edges >= nv produce exact
     zeros).  Same contract: edges grouped by jj_slot; returns (c1, c2).
@@ -434,10 +451,22 @@ def corr_onepass(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
         [x1, y1, x1 / 4.0, y1 / 4.0, bases,
          jnp.zeros((E, 64 - 4 * P * P - 4), jnp.float32)], axis=1)
 
-    if g9 is None:
-        g9 = gmap[kk_slot].reshape(E, P * P, gmap.shape[-1])
     if nv is None:
         nv = jnp.asarray(E, jnp.int32)
+
+    # g-row source for the kernel's per-block DMA: with rows_contiguous
+    # (the pair-blocked runtime tables: kk_slot = psl*M + arange(M) per
+    # pair, EB | M) the kernel reads gmap rows directly and the per-edge
+    # (E, P2, C) gather (~113 MB + a 0.6 ms relayout at E=49k) never
+    # materializes; otherwise pre-gather g9 rows (then block i's rows are
+    # [i*EB, (i+1)*EB) by construction).
+    if rows_contiguous and E % EB == 0 and g9 is None:
+        g_rows = gmap.reshape(gmap.shape[0], P * P, gmap.shape[-1])
+        gb = kk_slot.astype(jnp.int32).reshape(E // EB, EB)[:, 0]
+    else:
+        if g9 is None:
+            g9 = gmap[kk_slot].reshape(E, P * P, gmap.shape[-1])
+        g_rows, gb = g9, None
 
     Epad = -(-E // EB) * EB
     if Epad != E:
@@ -446,13 +475,22 @@ def corr_onepass(gmap, fmap1, fmap2, coords, kk_slot, jj_slot, radius=3,
         def padrows(a):
             return jnp.concatenate(
                 [a, jnp.zeros((padn,) + a.shape[1:], a.dtype)], 0)
-        g9, sxy = map(padrows, (g9, sxy))
+        sxy = padrows(sxy)
+        if gb is None:
+            g_rows = padrows(g_rows)
         # padded edges reuse the last real slot word (no slab reload)
         pa = jnp.concatenate([pa, jnp.broadcast_to(pa[-1:], (padn,))])
         pb = jnp.concatenate([pb, jnp.broadcast_to(pb[-1:], (padn,))])
+    if gb is None:
+        gb = jnp.arange(Epad // EB, dtype=jnp.int32) * EB
     nv = jnp.minimum(jnp.asarray(nv, jnp.int32), E)
 
-    t1, t2 = _onepass_call(g9, fp1, fp2, pa, pb, sxy, nv,
+    # pad the P2 dim to 16 sublanes (kernel DMA slices must be sublane-
+    # aligned); ~14 MB/frame on the contiguous path, trivially cheap next
+    # to the (E, P2, C) gather it replaces
+    g_rows = jnp.pad(g_rows, ((0, 0), (0, 16 - P * P), (0, 0)))
+
+    t1, t2 = _onepass_call(g_rows, gb, fp1, fp2, pa, pb, sxy, nv,
                            H1=H1, W1=W1, H2=H2, W2=W2, radius=radius,
                            out_dtype=out_dtype, interpret=interpret)
     if layout == 'native':

@@ -427,12 +427,19 @@ def vo_frame(params, st, image, coords, depth_seed, tstamp,
         kk_slot = (psl[:, None] * M + jnp.arange(M)[None, :]).reshape(E)
         jj_slot = jnp.repeat(_slot_of(st.fslot, pj_a), M)
         from ..ba_pairs import gather_rows
-        # one-hot MXU gather: the fancy-index form lowers to a sequential
-        # 512-iteration while loop moving ~113 MB (~22 ms/frame measured)
-        g9 = gather_rows(st.gmap.reshape(pmem, -1), psl)
         h4, w4 = image.shape[0] // 4, image.shape[1] // 4
-        ckw = dict(g9=g9.reshape(E, P * P, st.gmap.shape[-1]),
-                   prepadded=((h4, w4), (h4 // 4, w4 // 4)))
+        pre = ((h4, w4), (h4 // 4, w4 // 4))
+        if corr_impl == 'onepass':
+            # NO g9 pre-gather: kk_slot rows are contiguous per pair, so
+            # the kernel DMAs its EB g-rows per block straight from gmap
+            ckw = dict(prepadded=pre, rows_contiguous=True)
+        else:
+            # one-hot MXU gather: the fancy-index form lowers to a
+            # sequential 512-iteration while loop moving ~113 MB
+            # (~22 ms/frame measured)
+            g9 = gather_rows(st.gmap.reshape(pmem, -1), psl)
+            ckw = dict(g9=g9.reshape(E, P * P, st.gmap.shape[-1]),
+                       prepadded=pre)
         if corr_impl == 'onepass':
             # valid pairs are a compacted prefix: edges past nv skip the
             # MXU dots entirely and emit exact zeros.  NATIVE layout: no
@@ -668,22 +675,24 @@ def vo_refine(params, st, *, M, pmem, mem, W, PCF, opt_window,
     kk_slot = (psl[:, None] * M + marange[None, :]).reshape(E)
     jj_slot = jnp.repeat(_slot_of(st.fslot, st.pj), M)
     from ..ba_pairs import gather_rows
-    g9 = gather_rows(st.gmap.reshape(pmem, -1), psl)   # one-hot MXU gather
-    ckw = dict(g9=g9.reshape(E, P * P, st.gmap.shape[-1]),
-               prepadded=((ht4, wd4), (ht4 // 4, wd4 // 4)))
+    pre = ((ht4, wd4), (ht4 // 4, wd4 // 4))
     if corr_impl == 'onepass':
         nv = jnp.sum(st.pvalid.astype(jnp.int32)) * M
         c1, c2 = corr_onepass(st.gmap, st.fmap1, st.fmap2, coords_f,
                               kk_slot, jj_slot, nv=nv, layout='native',
                               out_dtype=(jnp.bfloat16 if mixed_precision
-                                         else jnp.float32), **ckw)
+                                         else jnp.float32), prepadded=pre,
+                              rows_contiguous=True)
         # native layout; permuted update.corr.0 rows (see corr_two_level)
         corr_feat = jnp.concatenate(
             [c1.reshape(E, -1), c2.reshape(E, -1)], axis=-1)
     else:
+        g9 = gather_rows(st.gmap.reshape(pmem, -1), psl)  # one-hot gather
         c1, c2 = corr_fused(st.gmap, st.fmap1, st.fmap2, coords_f,
                             kk_slot, jj_slot,
-                            select_kernel=(corr_impl == 'fused_k'), **ckw)
+                            select_kernel=(corr_impl == 'fused_k'),
+                            g9=g9.reshape(E, P * P, st.gmap.shape[-1]),
+                            prepadded=pre)
         corr_feat = jnp.stack([c1, c2], axis=-1).reshape(E, -1)
     inp = gather_rows(st.imap.reshape(pmem, M * DIM), psl).reshape(E, DIM)
 
