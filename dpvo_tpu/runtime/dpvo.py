@@ -100,13 +100,13 @@ class DPVO:
         self.N = cfg.BUFFER_SIZE
         self.rng = np.random.RandomState(seed)
 
-        # the hybrid runtime ingests RGB only; surface the mismatch instead
-        # of silently measuring rgb while the config claims yuv420 (ADVICE r3)
-        self._upload = 'rgb'
-        if str(getattr(cfg, 'UPLOAD_FORMAT', 'rgb')).lower() == 'yuv420':
-            print('WARNING: UPLOAD_FORMAT=yuv420 is only honored by the '
-                  'device-resident runtime (pure-VO configs); this '
-                  'loop-closure/viz run ingests rgb')
+        # camera-native I420 ingest (1.5 B/px over the link, device-side
+        # BT.601 — same helper as the device runtime, state.py frame_step)
+        self._upload = str(getattr(cfg, 'UPLOAD_FORMAT', 'rgb')).lower()
+        if self._upload == 'yuv420' and (ht % 2 or wd % 2):
+            print(f'WARNING: UPLOAD_FORMAT=yuv420 needs even dims, got '
+                  f'{ht}x{wd}; falling back to rgb ingest')
+            self._upload = 'rgb'
 
         self.load_weights(network)
 
@@ -727,7 +727,13 @@ class DPVO:
         intrinsics = np.asarray(intrinsics, np.float32)
         self.intr_np = intrinsics / self.RES
 
-        image_dev = jnp.asarray(np.ascontiguousarray(image), jnp.uint8)
+        if self._upload == 'yuv420':
+            import cv2
+            image_dev = jnp.asarray(cv2.cvtColor(
+                np.ascontiguousarray(image, np.uint8),
+                cv2.COLOR_RGB2YUV_I420))        # (3h/2, w) plane stack
+        else:
+            image_dev = jnp.asarray(np.ascontiguousarray(image), jnp.uint8)
         coords = self._select_coords(image)
 
         ns, M = self.n, self.M

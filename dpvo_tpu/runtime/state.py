@@ -390,6 +390,13 @@ def frame_step(params, poses, patch_xy, depth, intrinsics,
     weight_buf = _gather_rows_impl(weight_buf, edge_perm)
 
     # (c) patchify + store
+    if image.ndim == 2:
+        # I420 plane stack (3h/2, w) uint8 — camera-native ingest at
+        # 1.5 B/px over the link; BT.601 conversion on device (same
+        # helper/accuracy gate as the device runtime, test_yuv_ingest)
+        from .device_vo import _i420_to_rgb
+        ht, wd = image.shape[0] * 2 // 3, image.shape[1]
+        image = _i420_to_rgb(image.reshape(-1), ht, wd)
     img = 2.0 * (image.astype(jnp.float32) / 255.0) - 0.5
     feats = patchify_frame(params, img, coords,
                            mixed_precision=mixed_precision)

@@ -82,3 +82,15 @@ bench('onepass (nv)', corr_onepass, gmap, fp1p, fp2, coords, kk, jj,
       prepadded=prep, nv=nv, g9=g9)
 bench('onepass native (nv=E)', corr_onepass, gmap, fp1p, fp2, coords, kk,
       jj, prepadded=prep, g9=g9, layout='native')
+
+# production path: pair-blocked contiguous kk rows -> in-kernel g-row DMA
+# straight from gmap (device_vo corr_two_level), bf16 taps out
+GP = E // M
+psl = rng.randint(0, F, GP)
+kk_cont = jnp.asarray(
+    (psl[:, None] * M + np.arange(M)[None, :]).reshape(E), jnp.int32)
+bench('onepass native contiguous', corr_onepass, gmap, fp1p, fp2, coords,
+      kk_cont, jj, prepadded=prep, layout='native',
+      out_dtype=jnp.bfloat16, rows_contiguous=True)
+bench('onepass native cont f32', corr_onepass, gmap, fp1p, fp2, coords,
+      kk_cont, jj, prepadded=prep, layout='native', rows_contiguous=True)

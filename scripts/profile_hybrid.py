@@ -16,6 +16,8 @@ from dpvo_tpu.runtime import HybridVO
 
 cfg.merge_from_file('config/default.yaml')
 cfg.LOOP_CLOSURE = True
+import os
+cfg.MIRROR_PIPELINE = int(os.environ.get('MP', '1'))
 
 
 def synth_frames(n, H, W, seed=0):
@@ -48,7 +50,8 @@ def wrap(name, fn):
 
 for name in ('_fused_step', '_drain', '_sort_edges', '_edge_table',
              'append_factors', 'keyframe', 'edges_loop', '_run_global_ba',
-             '_apply_mirror'):
+             '_apply_mirror', '_drain_one', 'normalize', '_flush_pending',
+             '_start_refresh', '_apply_refresh'):
     setattr(slam, name, wrap(name, getattr(slam, name)))
 
 WARM = 40

@@ -109,3 +109,35 @@ def test_yuv_ingest_accuracy_matches_rgb_with_trained_weights():
     assert errs['yuv420'] < 0.15 * path, (errs, path)
     # ...and must stay in the rgb run's regime
     assert errs['yuv420'] < errs['rgb'] + 0.05 * path, (errs, path)
+
+
+def test_hybrid_runs_on_yuv_ingest():
+    """HybridVO honors UPLOAD_FORMAT=yuv420 (I420 plane-stack upload,
+    state.py frame_step device-side conversion) and stays close to the
+    RGB-ingest run — the SLAM/LC modes ride this runtime, so their ingest
+    is half the link bytes too."""
+    from dpvo_tpu.config import cfg as base_cfg
+    from dpvo_tpu.runtime import HybridVO
+
+    rng = np.random.RandomState(0)
+    frames = [cv2.GaussianBlur(
+        rng.randint(0, 255, (64, 96, 3)).astype(np.uint8), (0, 0), 2)
+        for _ in range(4)]
+    intr = np.array([70.0, 70.0, 48.0, 32.0], np.float32)
+
+    poses = {}
+    for fmt in ('rgb', 'yuv420'):
+        cfg = base_cfg.clone()
+        cfg.PATCHES_PER_FRAME = 8
+        cfg.BUFFER_SIZE = 32
+        cfg.UPLOAD_FORMAT = fmt
+        slam = HybridVO(cfg, None, ht=64, wd=96, seed=0)
+        assert slam._upload == fmt
+        slam.motion_probe = lambda: 100.0
+        for t, f in enumerate(frames):
+            slam(t, f, intr)
+        slam._drain()
+        poses[fmt] = slam.poses_np[:4].copy()
+        assert np.isfinite(poses[fmt]).all()
+
+    assert np.abs(poses['rgb'] - poses['yuv420']).max() < 0.5
